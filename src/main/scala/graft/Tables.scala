@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+
+/** Shared table loaders + determinism helpers (SURVEY.md §2 D-rules).
+  *
+  * All oracle-checked queries read parquet through these helpers so that
+  * the D2 (decimal money math) and D5 (nanosecond timestamp) disciplines
+  * are applied in exactly one place.
+  */
+object Tables {
+
+  /** Load a testdata table: `$sfDir/<name>.parquet`. */
+  def tbl(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = tbl(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = tbl(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = tbl(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = tbl(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = tbl(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = tbl(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = tbl(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = tbl(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = tbl(s, d, "embeddings")
+
+  /** events.parquet carries a parquet TIMESTAMP(NANOS) column that Spark
+    * 4.x refuses by default (PARQUET_TYPE_ILLEGAL). Read it as Long nanos
+    * via the legacy conf (runtime-settable) and normalize to a proper
+    * microsecond TimestampType column `ts` (FIXTURES.md, SURVEY §2 D5).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // `div` = integer division on longs; `/` would round-trip through
+    // double and lose sub-µs bits (epoch-nanos ≈ 1.7e18 > 2^53).
+    tbl(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** D2: money doubles → DECIMAL(18,2) before any arithmetic/aggregation. */
+  def dec2(c: Column): Column = c.cast("decimal(18,2)")
+  /** D2: rates (discount/tax) → DECIMAL(18,4). */
+  def dec4(c: Column): Column = c.cast("decimal(18,4)")
+}

@@ -1,0 +1,11 @@
+package graft.queries
+
+import graft.Q
+
+/** Assembles the full declared-query inventory (SURVEY.md §2A + the
+  * no-oracle §2B rows that still run as queries).
+  */
+object Registry {
+  def all: Seq[Q] =
+    Relational.all
+}
