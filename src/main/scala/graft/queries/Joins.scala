@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables => T}
+
+/** SURVEY.md §2A group 2 — all join shapes, equi and non-equi. */
+object Joins {
+
+  val joinInnerEqui: Q = Q(
+    "join_inner_equi",
+    """SELECT o_orderkey, c_custkey, c_name, o_orderstatus
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey NULLS FIRST
+      |LIMIT 1000""".stripMargin
+  ) { (s, d) =>
+    T.orders(s, d)
+      .join(T.customer(s, d), col("o_custkey") === col("c_custkey"), "inner")
+      .select(col("o_orderkey"), col("c_custkey"), col("c_name"), col("o_orderstatus"))
+      .orderBy(col("o_orderkey").asc_nulls_first)
+      .limit(1000)
+  }
+
+  /** Dim enrichment with explicit broadcast of the small sides — the plan
+    * Catalyst would pick anyway, pinned for the 100 TB case where stats
+    * may mislead (SURVEY §4.2).
+    */
+  val joinBroadcast: Q = Q(
+    "join_broadcast",
+    """SELECT r_name, n_name,
+      |       count(*) AS n_items,
+      |       sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS revenue
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    T.lineitem(s, d)
+      .join(broadcast(T.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(T.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(T.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(T.dec2(col("l_extendedprice")) * (lit(1) - T.dec4(col("l_discount"))))
+          .as("revenue"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  val joinLeftOuter: Q = Q(
+    "join_left_outer",
+    """SELECT c_custkey, count(o_orderkey) AS n_orders,
+      |       coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS spend
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey
+      |ORDER BY c_custkey NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    T.customer(s, d)
+      .join(T.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(sum(T.dec2(col("o_totalprice"))), T.dec2(lit(0))).as("spend"))
+      .orderBy(col("c_custkey").asc_nulls_first)
+  }
+
+  /** Symmetric difference of two key sets via FULL OUTER JOIN. */
+  val joinFullOuter: Q = Q(
+    "join_full_outer",
+    """WITH a AS (SELECT c_custkey AS a_key FROM customer WHERE c_nationkey < 12),
+      |     b AS (SELECT DISTINCT o_custkey AS b_key FROM orders WHERE o_orderpriority = '1-URGENT')
+      |SELECT coalesce(a_key, b_key) AS custkey,
+      |       (a_key IS NOT NULL) AS in_a,
+      |       (b_key IS NOT NULL) AS in_b
+      |FROM a FULL OUTER JOIN b ON a_key = b_key
+      |ORDER BY custkey NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val a = T.customer(s, d).filter(col("c_nationkey") < 12)
+      .select(col("c_custkey").as("a_key"))
+    val b = T.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("b_key")).distinct()
+    a.join(b, col("a_key") === col("b_key"), "full_outer")
+      .select(
+        coalesce(col("a_key"), col("b_key")).as("custkey"),
+        col("a_key").isNotNull.as("in_a"),
+        col("b_key").isNotNull.as("in_b"))
+      .orderBy(col("custkey").asc_nulls_first)
+  }
+
+  val joinSemi: Q = Q(
+    "join_semi",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    T.customer(s, d)
+      .join(
+        T.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey").asc_nulls_first)
+  }
+
+  val joinAnti: Q = Q(
+    "join_anti",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    T.customer(s, d)
+      .join(T.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey").asc_nulls_first)
+  }
+
+  /** Equi key + range predicate: ship within 90 days of the order date.
+    * Planner: SMJ/SHJ on the equi key, range as a post-join filter —
+    * the scalable shape for time-window correlation.
+    */
+  val joinThetaRange: Q = Q(
+    "join_theta_range",
+    """SELECT l_returnflag, count(*) AS n,
+      |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  AND l_shipdate >= o_orderdate
+      |  AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    T.lineitem(s, d)
+      .join(T.orders(s, d),
+        col("l_orderkey") === col("o_orderkey")
+          && col("l_shipdate") >= col("o_orderdate")
+          && col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAY"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(T.dec2(col("l_quantity"))).as("qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first)
+  }
+
+  /** As-of backward join: for each purchase, the latest click by the same
+    * user at or before the purchase ts; ts ties → max click event_id.
+    * Spark has no native as-of join; the canonical idiom is the
+    * union + ordered-window `last(_, ignoreNulls)` formulation below —
+    * one shuffle on user_id, no range self-join, skew-safe at scale.
+    * The oracle uses the SAME formulation to pin tie-breaks exactly
+    * (SURVEY §7.2 #4).
+    */
+  val joinAsof: Q = Q(
+    "join_asof",
+    """WITH ce AS (
+      |  SELECT event_id, user_id, ts,
+      |         CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+      |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |), w AS (
+      |  SELECT event_id, user_id, ts, is_purchase,
+      |         last_value(click_id IGNORE NULLS) OVER (
+      |           PARTITION BY user_id
+      |           ORDER BY ts, is_purchase, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id
+      |  FROM ce
+      |)
+      |SELECT event_id, user_id, ts, asof_click_id
+      |FROM w WHERE is_purchase = 1
+      |ORDER BY event_id NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val ce = T.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(
+        col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "click", col("event_id")).as("click_id"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("is_purchase"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_purchase"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ce.withColumn("asof_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .filter(col("is_purchase") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"), col("asof_click_id"))
+      .orderBy(col("event_id").asc_nulls_first)
+  }
+
+  val joinCrossSmall: Q = Q(
+    "join_cross_small",
+    """SELECT r_name, n_name
+      |FROM region CROSS JOIN nation
+      |WHERE r_regionkey <> n_regionkey
+      |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    T.region(s, d).crossJoin(T.nation(s, d))
+      .filter(col("r_regionkey") =!= col("n_regionkey"))
+      .select(col("r_name"), col("n_name"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  val all: Seq[Q] = Seq(
+    joinInnerEqui, joinBroadcast, joinLeftOuter, joinFullOuter,
+    joinSemi, joinAnti, joinThetaRange, joinAsof, joinCrossSmall)
+}

@@ -7,5 +7,5 @@ import graft.Q
   */
 object Registry {
   def all: Seq[Q] =
-    Relational.all
+    Scans.all ++ Joins.all ++ Aggregates.all ++ WindowsQ.all ++ SortSetOps.all
 }
