@@ -7,5 +7,6 @@ import graft.Q
   */
 object Registry {
   def all: Seq[Q] =
-    Scans.all ++ Joins.all ++ Aggregates.all ++ WindowsQ.all ++ SortSetOps.all
+    Scans.all ++ Joins.all ++ Aggregates.all ++ WindowsQ.all ++
+      SortSetOps.all ++ Functions.all ++ Reshape.all
 }

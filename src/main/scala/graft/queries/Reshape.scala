@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables => T}
+
+/** SURVEY.md §2A groups 8–9 — generators (UDTF surface), pivot/unpivot,
+  * subqueries, CTE.
+  */
+object Reshape {
+
+  /** Tokenize + explode (Spark's Generator node) → top-20 word counts. */
+  val explodeTokens: Q = Q(
+    "explode_tokens",
+    """SELECT word, count(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |GROUP BY word
+      |ORDER BY n DESC, word ASC NULLS FIRST
+      |LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    T.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc_nulls_first)
+      .limit(20)
+  }
+
+  /** Row multiplication via sequence + explode. */
+  val generatorSequence: Q = Q(
+    "generator_sequence",
+    """SELECT l_orderkey, l_linenumber, i
+      |FROM lineitem, unnest(generate_series(1, l_linenumber)) AS u(i)
+      |WHERE l_orderkey <= 50
+      |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST, i NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    T.lineitem(s, d)
+      .filter(col("l_orderkey") <= 50)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        explode(sequence(lit(1), col("l_linenumber"))).as("i"))
+      .orderBy(col("l_orderkey").asc_nulls_first,
+        col("l_linenumber").asc_nulls_first, col("i").asc_nulls_first)
+  }
+
+  /** Wide report matrix: rows = user-id bucket, columns = the five known
+    * event types (pinned list per D4), values = counts. The oracle uses
+    * conditional aggregation — same semantics, no PIVOT column-order
+    * ambiguity.
+    */
+  val pivotWide: Q = Q(
+    "pivot_wide",
+    """SELECT user_id % 10 AS bucket,
+      |       count(*) FILTER (WHERE event_type = 'click') AS click,
+      |       count(*) FILTER (WHERE event_type = 'error') AS error,
+      |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |       count(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY bucket NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wide = T.events(s, d)
+      .groupBy((col("user_id") % 10).as("bucket"))
+      .pivot("event_type", types)
+      .count()
+    // pivot yields NULL for empty cells; the FILTER oracle yields 0.
+    types.foldLeft(wide) { (df, t) =>
+      df.withColumn(t, coalesce(col(s"`$t`"), lit(0L)))
+    }.orderBy(col("bucket").asc_nulls_first)
+  }
+
+  /** Inverse reshape: wide per-flag measures → long (flag, measure, val). */
+  val unpivotLong: Q = Q(
+    "unpivot_long",
+    """WITH wide AS (
+      |  SELECT l_returnflag,
+      |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+      |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag, 'sum_qty' AS measure, CAST(sum_qty AS DECIMAL(28,2)) AS val FROM wide
+      |UNION ALL
+      |SELECT l_returnflag, 'sum_price' AS measure, CAST(sum_price AS DECIMAL(28,2)) AS val FROM wide
+      |ORDER BY l_returnflag NULLS FIRST, measure NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    T.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(T.dec2(col("l_quantity"))).as("sum_qty"),
+        sum(T.dec2(col("l_extendedprice"))).as("sum_price"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price")),
+        "measure", "val")
+      .withColumn("val", col("val").cast("decimal(28,2)"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("measure").asc_nulls_first)
+  }
+
+  /** Uncorrelated scalar subquery. The above-average predicate is
+    * multiplied through (price·N > Σprice) so both sides stay exact
+    * decimals — no cross-engine division rounding (D2).
+    */
+  val subqueryScalar: Q = Q(
+    "subquery_scalar",
+    """SELECT count(*) AS n_above,
+      |       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS price_above
+      |FROM lineitem
+      |WHERE CAST(l_extendedprice AS DECIMAL(18,2)) * (SELECT count(*) FROM lineitem)
+      |      > (SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))) FROM lineitem)""".stripMargin
+  ) { (s, d) =>
+    T.lineitem(s, d).createOrReplaceTempView("graft_lineitem_sq")
+    s.sql(
+      """SELECT count(*) AS n_above,
+        |       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS price_above
+        |FROM graft_lineitem_sq
+        |WHERE CAST(l_extendedprice AS DECIMAL(18,2)) * (SELECT count(*) FROM graft_lineitem_sq)
+        |      > (SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))) FROM graft_lineitem_sq)""".stripMargin)
+  }
+
+  /** Correlated scalar subquery (Catalyst decorrelates to a join):
+    * each customer's most expensive order(s). Max is accumulation-free,
+    * so the double compares exactly (D2).
+    */
+  val subqueryCorrelated: Q = Q(
+    "subquery_correlated",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+      |                      WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    T.orders(s, d).createOrReplaceTempView("graft_orders_sq")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM graft_orders_sq o
+        |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM graft_orders_sq o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** CTE referenced twice (plan reuse): nation pairs with equal customer
+    * counts.
+    */
+  val cteReuse: Q = Q(
+    "cte_reuse",
+    """WITH per_nation AS (
+      |  SELECT c_nationkey, count(*) AS n FROM customer GROUP BY c_nationkey
+      |)
+      |SELECT a.c_nationkey AS nk_a, b.c_nationkey AS nk_b, a.n
+      |FROM per_nation a JOIN per_nation b
+      |  ON a.n = b.n AND a.c_nationkey < b.c_nationkey
+      |ORDER BY nk_a NULLS FIRST, nk_b NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    T.customer(s, d).createOrReplaceTempView("graft_customer_cte")
+    s.sql(
+      """WITH per_nation AS (
+        |  SELECT c_nationkey, count(*) AS n FROM graft_customer_cte GROUP BY c_nationkey
+        |)
+        |SELECT a.c_nationkey AS nk_a, b.c_nationkey AS nk_b, a.n
+        |FROM per_nation a JOIN per_nation b
+        |  ON a.n = b.n AND a.c_nationkey < b.c_nationkey
+        |ORDER BY nk_a ASC NULLS FIRST, nk_b ASC NULLS FIRST""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(
+    explodeTokens, generatorSequence, pivotWide, unpivotLong,
+    subqueryScalar, subqueryCorrelated, cteReuse)
+}

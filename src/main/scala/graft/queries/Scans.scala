@@ -15,22 +15,26 @@ object Scans {
 
   val projectExpr: Q = Q(
     "project_expr",
-    """SELECT l_orderkey, l_linenumber,
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
       |       CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS net_price,
       |       CAST(l_quantity AS INTEGER) AS qty_int,
       |       upper(l_returnflag) AS flag_uc
       |FROM lineitem
-      |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST
+      |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST,
+      |         l_partkey NULLS FIRST, l_suppkey NULLS FIRST
       |LIMIT 100""".stripMargin
   ) { (s, d) =>
+    // lineitem's unique key is the 4-tuple incl. part/supp keys (D1):
+    // (l_orderkey, l_linenumber) alone has ~20% duplicates in this data.
     T.lineitem(s, d)
       .select(
-        col("l_orderkey"), col("l_linenumber"),
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
         (T.dec2(col("l_extendedprice")) * (lit(1) - T.dec4(col("l_discount"))))
           .as("net_price"),
         col("l_quantity").cast("int").as("qty_int"),
         upper(col("l_returnflag")).as("flag_uc"))
-      .orderBy(col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first)
+      .orderBy(col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first,
+        col("l_partkey").asc_nulls_first, col("l_suppkey").asc_nulls_first)
       .limit(100)
   }
 
