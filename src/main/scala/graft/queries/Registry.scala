@@ -8,5 +8,6 @@ import graft.Q
 object Registry {
   def all: Seq[Q] =
     Scans.all ++ Joins.all ++ Aggregates.all ++ WindowsQ.all ++
-      SortSetOps.all ++ Functions.all ++ Reshape.all ++ LlmOps.all
+      SortSetOps.all ++ Functions.all ++ Reshape.all ++ LlmOps.all ++
+      StreamingBatch.all
 }

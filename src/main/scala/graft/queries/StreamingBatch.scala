@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables => T}
+
+/** SURVEY.md §2A group 11 — batch-checkable projections of the streaming
+  * window semantics. The streaming runtime twins (watermarks, state
+  * store) live in graft.streaming and are asserted equal to these in
+  * ScalaTest (§2B B7–B9); these rows pin the window SEMANTICS against
+  * DuckDB.
+  */
+object StreamingBatch {
+
+  /** 1-hour tumbling window × event_type. Epoch-aligned in both engines,
+    * so `window(ts, '1 hour').start` == `date_trunc('hour', ts)`.
+    */
+  val streamTumblingBatch: Q = Q(
+    "stream_tumbling_batch",
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+      |       event_type, count(*) AS n
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY window_start NULLS FIRST, event_type NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    T.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+      .orderBy(col("window_start").asc_nulls_first, col("event_type").asc_nulls_first)
+  }
+
+  /** 1-hour window sliding every 15 min — each event lands in exactly 4
+    * windows. Oracle: explode offsets 0..3 from the event's 15-min
+    * bucket (identical epoch alignment).
+    */
+  val streamSlidingBatch: Q = Q(
+    "stream_sliding_batch",
+    """SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000
+      |                      - CAST(k AS BIGINT) * 900000000) AS window_start,
+      |       count(*) AS n
+      |FROM events, unnest([0, 1, 2, 3]) AS u(k)
+      |GROUP BY 1
+      |ORDER BY window_start NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    T.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"))
+      .orderBy(col("window_start").asc_nulls_first)
+  }
+
+  /** Per-user session windows with a 30-minute gap — gaps-and-islands.
+    * A gap of EXACTLY 30 min starts a new session (>=), matching
+    * Structured Streaming's session_window semantics where a window
+    * covers [start, last_event + gap).
+    */
+  val streamSessionBatch: Q = Q(
+    "stream_session_batch",
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+      |              OR lag(ts) OVER w IS NULL
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sessions AS (
+      |  SELECT user_id, event_id, ts,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged
+      |)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |       min(ts) AS session_start, max(ts) AS session_end
+      |FROM sessions
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id NULLS FIRST, session_id NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T.events(s, d)
+      .withColumn("new_session",
+        when(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w) >= 1800000000L
+          || lag(col("ts"), 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy(col("user_id").asc_nulls_first, col("session_id").asc_nulls_first)
+  }
+
+  val all: Seq[Q] = Seq(streamTumblingBatch, streamSlidingBatch, streamSessionBatch)
+}
