@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables => T}
+
+/** Extended LLM-data-pipeline operators (driver mandate): near-dup
+  * detection (n-gram Jaccard, embedding cosine), text analysis
+  * (language-ID, quality scoring, token counting, fingerprinting).
+  *
+  * Portability notes: token/shingle codes are derived from md5 (same
+  * algorithm both engines) reduced mod p = 2^31−1; polynomial folds run
+  * left-to-right with the first step degenerate (0·B + c = c) so a
+  * no-initial-value DuckDB list_reduce matches a zero-seeded Spark
+  * aggregate exactly.
+  */
+object LlmOpsExt {
+
+  /** Near-dup pairs by 3-gram token-shingle Jaccard. The shape is the
+    * scalable one: explode distinct shingles → equi-join on shingle →
+    * per-pair intersection counts (no cross join; at 100 TB this is a
+    * shuffle on shingle, with hot shingles prunable by df).
+    */
+  val dedupNgramJaccard: Q = Q(
+    "dedup_ngram_jaccard",
+    """WITH tk AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |           generate_series(1, greatest(len(t) - 2, 0)),
+      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      |  FROM tk
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT a, b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+      |FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+      |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.1
+      |ORDER BY a NULLS FIRST, b NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val tk = T.documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+    val sh = tk.select(col("doc_id"),
+      explode(array_distinct(expr(
+        """transform(sequence(1, greatest(size(t) - 2, 0)),
+           i -> concat_ws(' ', element_at(t, i), element_at(t, i+1), element_at(t, i+2)))"""
+      ))).as("s"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("i"))
+    val j = col("i").cast("double") /
+      (col("sa.n") + col("sb.n") - col("i"))
+    inter
+      .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
+      .filter(j >= 0.1)
+      .select(col("a"), col("b"), round(j, 6).as("jaccard"))
+      .orderBy(col("a").asc_nulls_first, col("b").asc_nulls_first)
+  }
+
+  /** Embedding near-dup accounting: cosine ≥ 0.4 pairs over the FULL
+    * table (no id bound), rolled up by label pair.
+    */
+  val dedupEmbedding: Q = Q(
+    "dedup_embedding",
+    """SELECT a.label AS label_a, b.label AS label_b, count(*) AS n_pairs
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_reduce(list_transform(list_zip(a.embedding, b.embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)
+      |      / (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+      |       * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))) >= 0.4
+      |GROUP BY 1, 2
+      |ORDER BY label_a NULLS FIRST, label_b NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val e = T.embeddings(s, d)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+      col("label").as("label_a"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+      col("label").as("label_b"))
+    val dot =
+      "aggregate(zip_with(a_emb, b_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    def ssq(c: String) =
+      s"aggregate(transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    a.join(b, col("a_id") < col("b_id"))
+      .filter(expr(s"$dot / (sqrt(${ssq("a_emb")}) * sqrt(${ssq("b_emb")})) >= 0.4"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("label_a").asc_nulls_first, col("label_b").asc_nulls_first)
+  }
+
+  /** Character-trigram language ID: build a top-20-trigram profile per
+    * language from the corpus, predict each doc's language as the
+    * profile with the largest distinct-trigram overlap (ties → lang
+    * asc), report the confusion matrix.
+    */
+  val textLangid: Q = Q(
+    "text_langid",
+    """WITH tg AS (
+      |  SELECT doc_id, lang, unnest(list_distinct(list_transform(
+      |           generate_series(1, greatest(length(lower(text)) - 2, 0)),
+      |           i -> substring(lower(text), i, 3)))) AS g
+      |  FROM documents
+      |), profile AS (
+      |  SELECT lang, g FROM (
+      |    SELECT lang, g, row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, g ASC) AS rn
+      |    FROM tg GROUP BY lang, g
+      |  ) WHERE rn <= 20
+      |), overlap AS (
+      |  SELECT tg.doc_id, tg.lang AS actual, profile.lang AS cand, count(*) AS n
+      |  FROM tg JOIN profile ON tg.g = profile.g
+      |  GROUP BY 1, 2, 3
+      |), pred AS (
+      |  SELECT doc_id, actual, cand AS predicted FROM (
+      |    SELECT doc_id, actual, cand,
+      |           row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, cand ASC) AS rn
+      |    FROM overlap
+      |  ) WHERE rn = 1
+      |)
+      |SELECT actual, predicted, count(*) AS n_docs
+      |FROM pred
+      |GROUP BY actual, predicted
+      |ORDER BY actual NULLS FIRST, predicted NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val tg = T.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(expr(
+          """transform(sequence(1, greatest(length(lower(text)) - 2, 0)),
+             i -> substring(lower(text), i, 3))"""))).as("g"))
+    val wProfile = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("g").asc)
+    val profile = tg.groupBy(col("lang"), col("g")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wProfile))
+      .filter(col("rn") <= 20)
+      .select(col("lang").as("cand"), col("g"))
+    val overlap = tg.join(profile, "g")
+      .groupBy(col("doc_id"), col("lang").as("actual"), col("cand"))
+      .agg(count(lit(1)).as("n"))
+    val wPred = Window.partitionBy(col("doc_id"))
+      .orderBy(col("n").desc, col("cand").asc)
+    overlap
+      .withColumn("rn", row_number().over(wPred))
+      .filter(col("rn") === 1)
+      .groupBy(col("actual"), col("cand").as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("actual").asc_nulls_first, col("predicted").asc_nulls_first)
+  }
+
+  /** Heuristic quality scores: char/token counts, mean token length,
+    * digit ratio, vocabulary (distinct-token) ratio.
+    */
+  val textQuality: Q = Q(
+    "text_quality",
+    """SELECT doc_id,
+      |       length(text) AS n_chars,
+      |       len(string_split(text, ' ')) AS n_tokens,
+      |       round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |             / len(string_split(text, ' ')), 6) AS avg_tok_len,
+      |       round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+      |             / length(text), 6) AS digit_ratio,
+      |       round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |             / len(string_split(text, ' ')), 6) AS vocab_ratio
+      |FROM documents
+      |ORDER BY doc_id NULLS FIRST
+      |LIMIT 200""".stripMargin
+  ) { (s, d) =>
+    val toks = split(col("text"), " ")
+    T.documents(s, d)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(toks).as("n_tokens"),
+        round(length(regexp_replace(col("text"), " ", "")).cast("double") / size(toks), 6)
+          .as("avg_tok_len"),
+        round(length(regexp_replace(col("text"), "[^0-9]", "")).cast("double")
+          / length(col("text")), 6).as("digit_ratio"),
+        round(size(array_distinct(toks)).cast("double") / size(toks), 6)
+          .as("vocab_ratio"))
+      .orderBy(col("doc_id").asc_nulls_first)
+      .limit(200)
+  }
+
+  /** Token counting: whitespace tokens vs a BPE-ish regex tokenizer
+    * (letter runs / digit runs / single other chars).
+    */
+  val textTokens: Q = Q(
+    "text_tokens",
+    """SELECT doc_id,
+      |       len(string_split(text, ' ')) AS n_ws_tokens,
+      |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+      |       length(text) AS n_chars
+      |FROM documents
+      |ORDER BY doc_id NULLS FIRST
+      |LIMIT 200""".stripMargin
+  ) { (s, d) =>
+    T.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws_tokens"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .as("n_bpe_tokens"),
+        length(col("text")).as("n_chars"))
+      .orderBy(col("doc_id").asc_nulls_first)
+      .limit(200)
+  }
+
+  /** Order-sensitive document fingerprint: polynomial rolling hash over
+    * md5-derived token codes, mod p = 2^31−1, base 31.
+    */
+  val textFingerprint: Q = Q(
+    "text_fingerprint",
+    """SELECT doc_id,
+      |       list_reduce(list_transform(string_split(text, ' '),
+      |                     t -> CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) % 2147483647),
+      |                   (a, b) -> (a * 31 + b) % 2147483647) AS fp
+      |FROM documents
+      |ORDER BY doc_id NULLS FIRST
+      |LIMIT 200""".stripMargin
+  ) { (s, d) =>
+    T.documents(s, d)
+      .select(
+        col("doc_id"),
+        expr(
+          """aggregate(transform(split(text, ' '),
+                         t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) % 2147483647),
+                       CAST(0 AS BIGINT), (a, b) -> (a * 31 + b) % 2147483647)""").as("fp"))
+      .orderBy(col("doc_id").asc_nulls_first)
+      .limit(200)
+  }
+
+  val all: Seq[Q] = Seq(
+    dedupNgramJaccard, dedupEmbedding, textLangid, textQuality,
+    textTokens, textFingerprint)
+}
