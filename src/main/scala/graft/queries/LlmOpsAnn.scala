@@ -1,0 +1,235 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables => T}
+
+/** Sketch-based near-dup (MinHash+LSH banding, SimHash) and bucketed ANN
+  * (IVF) — the 100 TB-scale variants of the brute-force similarity rows.
+  * All three are fully deterministic (fixed hash constants, md5 token
+  * codes, explicit tie-breaks) and therefore oracle-checkable, unlike
+  * the probabilistic spark.ml LSH (§2B B6) which is unit-tested instead.
+  */
+object LlmOpsAnn {
+
+  private val P = 2147483647L // 2^31 − 1
+  private val HASH_AB = Seq(
+    (1299721L, 11L), (1299833L, 37L), (1300021L, 101L), (1300033L, 223L),
+    (1300109L, 499L), (1300211L, 997L), (1300309L, 2003L), (1300427L, 4999L))
+
+  /** MinHash/LSH near-dup: distinct 3-gram shingles → md5 codes →
+    * 8 minhashes → 4 bands of 2 → band-bucket equi-join for candidates →
+    * exact Jaccard verification of candidates only. At scale, the
+    * band join replaces the all-pairs join: cost ∝ bucket collisions,
+    * not n².
+    */
+  val dedupMinhashLsh: Q = Q(
+    "dedup_minhash_lsh", {
+      val mhCols = HASH_AB.zipWithIndex.map { case ((a, b), i) =>
+        s"min(($a * h + $b) % $P) AS mh$i"
+      }.mkString(", ")
+      val bandArms = (0 until 4).map { j =>
+        s"SELECT doc_id, $j AS band, mh${2 * j} AS k1, mh${2 * j + 1} AS k2 FROM m"
+      }.mkString(" UNION ALL ")
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+         |), sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |           generate_series(1, greatest(len(t) - 2, 0)),
+         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+         |  FROM tk
+         |), codes AS (
+         |  SELECT doc_id, CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) % $P AS h FROM sh
+         |), m AS (
+         |  SELECT doc_id, $mhCols FROM codes GROUP BY doc_id
+         |), bands AS ($bandArms
+         |), cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.k1 = y.k1 AND x.k2 = y.k2 AND x.doc_id < y.doc_id
+         |), sizes AS (
+         |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+         |), inter AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+         |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT cand.a, cand.b,
+         |       round(CAST(coalesce(inter.i, 0) AS DOUBLE) / (sa.n + sb.n - coalesce(inter.i, 0)), 6) AS jaccard
+         |FROM cand
+         |LEFT JOIN inter ON cand.a = inter.a AND cand.b = inter.b
+         |JOIN sizes sa ON cand.a = sa.doc_id
+         |JOIN sizes sb ON cand.b = sb.doc_id
+         |ORDER BY cand.a NULLS FIRST, cand.b NULLS FIRST""".stripMargin
+    }
+  ) { (s, d) =>
+    val sh = T.documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          """transform(sequence(1, greatest(size(t) - 2, 0)),
+             i -> concat_ws(' ', element_at(t, i), element_at(t, i+1), element_at(t, i+2)))"""
+        ))).as("s"))
+    val codes = sh.select(col("doc_id"),
+      (expr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)") % P).as("h"))
+    val m = codes.groupBy(col("doc_id"))
+      .agg(
+        min((col("h") * HASH_AB.head._1 + HASH_AB.head._2) % P).as("mh0"),
+        HASH_AB.zipWithIndex.tail.map { case ((a, b), i) =>
+          min((col("h") * a + b) % P).as(s"mh$i")
+        }: _*)
+    val bands = m.select(col("doc_id"),
+      explode(array((0 until 4).map { j =>
+        struct(lit(j).as("band"), col(s"mh${2 * j}").as("k1"), col(s"mh${2 * j + 1}").as("k2"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.k1"), col("bk.k2"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.k1") === col("y.k1")
+          && col("x.k2") === col("y.k2") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
+      .agg(count(lit(1)).as("i"))
+    val i0 = coalesce(col("i"), lit(0L))
+    cand
+      .join(inter, col("a") === col("ia") && col("b") === col("ib"), "left")
+      .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
+      .select(col("a"), col("b"),
+        round(i0.cast("double") / (col("sa.n") + col("sb.n") - i0), 6).as("jaccard"))
+      .orderBy(col("a").asc_nulls_first, col("b").asc_nulls_first)
+  }
+
+  /** 32-bit SimHash over md5 token codes. The synthetic corpus draws
+    * from one small vocabulary, so signatures cluster heavily and a
+    * pair LIST would be enormous; the declared result is the pairwise
+    * Hamming-distance histogram (same pipeline, bounded output), which
+    * is also the diagnostic a real dedup run starts from when picking a
+    * threshold.
+    */
+  val dedupSimhash: Q = Q(
+    "dedup_simhash",
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS t FROM documents
+       |), codes AS (
+       |  SELECT doc_id, CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS h FROM tok
+       |), bits AS (
+       |  SELECT doc_id, j,
+       |         sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS bal
+       |  FROM codes, unnest(generate_series(0, 31)) AS u(j)
+       |  GROUP BY doc_id, j
+       |), fp AS (
+       |  SELECT doc_id,
+       |         sum(CASE WHEN bal > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS simhash
+       |  FROM bits GROUP BY doc_id
+       |)
+       |SELECT bit_count(xor(a.simhash, b.simhash)) AS hamming, count(*) AS n_pairs
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |GROUP BY 1
+       |ORDER BY hamming NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val codes = T.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(split(lower(col("text")), " "))).as("t"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)").as("h"))
+    val bits = codes
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("j"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(when(expr("(h >> j) & 1") === 1, 1).otherwise(-1)).as("bal"))
+    val fp = bits.groupBy(col("doc_id"))
+      .agg(sum(when(col("bal") > 0, expr("CAST(shiftleft(CAST(1 AS BIGINT), j) AS BIGINT)"))
+        .otherwise(0L)).as("simhash"))
+    fp.select(col("simhash").as("x_simhash"), col("doc_id").as("a"))
+      .join(fp.select(col("simhash").as("y_simhash"), col("doc_id").as("b")),
+        col("a") < col("b"))
+      .groupBy(expr("bit_count(x_simhash ^ y_simhash)").as("hamming"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("hamming").asc_nulls_first)
+  }
+
+  private def cosExpr(aEmb: String, bEmb: String): String = {
+    def ssq(c: String) =
+      s"aggregate(transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    s"""aggregate(zip_with($aEmb, $bEmb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)
+        / (sqrt(${ssq(aEmb)}) * sqrt(${ssq(bEmb)}))"""
+  }
+
+  private def duckCos(aEmb: String, bEmb: String): String = {
+    def ssq(c: String) =
+      s"list_reduce(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)"
+    s"""list_reduce(list_transform(list_zip($aEmb, $bEmb), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)
+        / (sqrt(${ssq(aEmb)}) * sqrt(${ssq(bEmb)}))"""
+  }
+
+  /** IVF-style bucketed ANN: vectors are assigned to their nearest of 16
+    * fixed "centroids" (vec_id < 16 — a deterministic stand-in for
+    * k-means); each query searches only its own bucket. The scale story:
+    * assignment is a broadcast join (16 rows), search a per-bucket
+    * shuffle — no all-pairs join.
+    */
+  val annIvfTopk: Q = Q(
+    "ann_ivf_topk", {
+      val cosAssign = duckCos("v.embedding", "c.embedding")
+      val cosSearch = duckCos("q.embedding", "n.embedding")
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id < 16
+         |), assign AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT v.vec_id, c.cent_id,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |                              ORDER BY $cosAssign DESC, c.cent_id ASC) AS rn
+         |    FROM embeddings v CROSS JOIN cent c
+         |  ) WHERE rn = 1
+         |), q AS (
+         |  SELECT e.vec_id, e.embedding, a.cent_id
+         |  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+         |  WHERE e.vec_id IN (200, 300, 400)
+         |), nbr AS (
+         |  SELECT e.vec_id, e.embedding, a.cent_id
+         |  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+         |)
+         |SELECT query_id, neighbor_id, sim, rank FROM (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |         round($cosSearch, 6) AS sim,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |                            ORDER BY $cosSearch DESC, n.vec_id ASC) AS rank
+         |  FROM q JOIN nbr n ON q.cent_id = n.cent_id AND q.vec_id <> n.vec_id
+         |) WHERE rank <= 5
+         |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
+    }
+  ) { (s, d) =>
+    val e = T.embeddings(s, d)
+    val cent = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
+    val cosAssign = expr(cosExpr("embedding", "c_emb"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(cosAssign.desc, col("cent_id").asc)
+    val assign = e.crossJoin(broadcast(cent))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id"))
+    val assigned = e.join(assign, "vec_id")
+    val q = assigned.filter(col("vec_id").isin(200, 300, 400))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("cent_id").as("q_cent"))
+    val nbr = assigned
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
+        col("cent_id").as("n_cent"))
+    val cosSearch = expr(cosExpr("q_emb", "n_emb"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(cosSearch.desc, col("neighbor_id").asc)
+    q.join(nbr, col("q_cent") === col("n_cent") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosSearch, 6).as("sim"), col("rank"))
+      .orderBy(col("query_id").asc_nulls_first, col("rank").asc_nulls_first)
+  }
+
+  val all: Seq[Q] = Seq(dedupMinhashLsh, dedupSimhash, annIvfTopk)
+}
