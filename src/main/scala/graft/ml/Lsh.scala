@@ -1,0 +1,68 @@
+package graft.ml
+
+import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, HashingTF, MinHashLSH}
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalable near-dup / similarity search (SURVEY.md §2B B6) — the
+  * 100 TB path where any all-pairs join is infeasible. Both entry points
+  * are approxSimilarityJoin: cost ∝ bucket collisions, not n².
+  *
+  * Probabilistic (seeded but implementation-defined hashing), so these
+  * are unit-tested for recall against the exact oracle-checked queries
+  * (sim_threshold_join / dedup_ngram_jaccard) instead of DuckDB.
+  */
+object Lsh {
+
+  /** Near-dup text pairs by MinHash LSH over hashed token-shingle sets.
+    * Returns (a, b, jaccard_distance) with a < b.
+    */
+  def textNearDupPairs(spark: SparkSession, docs: DataFrame,
+                       maxJaccardDistance: Double, numHashTables: Int = 8,
+                       shingleLen: Int = 3): DataFrame = {
+    val shingled = docs.select(col("doc_id"),
+      expr(
+        s"""transform(sequence(1, greatest(size(split(lower(text), ' ')) - ${shingleLen - 1}, 0)),
+            i -> concat_ws(' ', slice(split(lower(text), ' '), i, $shingleLen)))""")
+        .as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val tf = new HashingTF()
+      .setInputCol("shingles").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val vecs = tf.transform(shingled)
+    val mh = new MinHashLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(numHashTables).setSeed(42L)
+    val model = mh.fit(vecs)
+    model.approxSimilarityJoin(vecs, vecs, maxJaccardDistance, "dist")
+      .select(
+        col("datasetA.doc_id").as("a"),
+        col("datasetB.doc_id").as("b"),
+        col("dist"))
+      .filter(col("a") < col("b"))
+  }
+
+  private val toVec = udf((xs: Seq[Float]) =>
+    Vectors.dense(xs.map(_.toDouble).toArray))
+
+  /** Near neighbors in embedding space by random-projection LSH
+    * (Euclidean buckets). Returns (a, b, dist) with a < b within
+    * `maxL2Distance` — on normalized vectors this bounds cosine too.
+    */
+  def embeddingNearPairs(spark: SparkSession, embeddings: DataFrame,
+                         maxL2Distance: Double, bucketLength: Double = 2.0,
+                         numHashTables: Int = 4): DataFrame = {
+    val vecs = embeddings.select(col("vec_id"), toVec(col("embedding")).as("features"))
+    val brp = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(42L)
+    val model = brp.fit(vecs)
+    model.approxSimilarityJoin(vecs, vecs, maxL2Distance, "dist")
+      .select(
+        col("datasetA.vec_id").as("a"),
+        col("datasetB.vec_id").as("b"),
+        col("dist"))
+      .filter(col("a") < col("b"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.ingest
+
+import java.nio.file.{Files, Paths}
+import graft.SparkSpec
+
+/** B1 (CSV + rejects) and the §3.4 pipeline end-to-end on temp dirs. */
+class IngestSpec extends SparkSpec {
+
+  private def write(path: String, content: String): Unit = {
+    val p = Paths.get(path)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, content)
+  }
+
+  test("CsvSource splits valid rows from rejects") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    write(s"$dir/batch1.csv",
+      """id,val,ts
+        |1,2.5,2024-01-01 00:00:00
+        |2,not_a_number,2024-01-01 00:01:00
+        |3,7.25,2024-01-01 00:02:00
+        |""".stripMargin)
+    val schema = Manifest.parse(
+      """id,bigint
+        |val,double precision
+        |ts,timestamp without time zone""".stripMargin)
+    val r = CsvSource.read(spark, schema, s"$dir/*.csv")
+    assert(r.valid.count() == 2)
+    assert(r.rejects.count() == 1)
+    assert(r.rejects.collect().head.getString(0).contains("not_a_number"))
+    assertThrows[IllegalStateException](CsvSource.enforceRejectLimit(r, 0))
+    assert(CsvSource.enforceRejectLimit(r, 5) == 1)
+  }
+
+  test("Manifest maps PostgreSQL-ish types, tolerates unknowns") {
+    val st = Manifest.parse(
+      """a,text
+        |b,integer
+        |# comment
+        |c,numeric
+        |d,mystery_type""".stripMargin)
+    import org.apache.spark.sql.types._
+    assert(st.fieldNames.toSeq == Seq("a", "b", "c", "d"))
+    assert(st("b").dataType == IntegerType)
+    assert(st("c").dataType == DecimalType(18, 4))
+    assert(st("d").dataType == StringType)
+  }
+
+  test("Ingest.run: load, dedup, evolve add-only across batches, archive") {
+    val root = Files.createTempDirectory("graft_ingest").toString
+    val conf = Ingest.Config(
+      uploadDir = s"$root/upload", lakeDir = s"$root/lake",
+      archiveDir = s"$root/archive", dedupKeys = Seq("id"))
+
+    // batch 1: plain two-column table, one duplicated id
+    write(s"$root/upload/metrics/manifest.txt", "id,bigint\nv,double precision")
+    write(s"$root/upload/metrics/b1.csv", "id,v\n1,1.5\n1,1.5\n2,2.5\n")
+    val rep1 = Ingest.run(spark, conf)
+    assert(rep1.map(_.table) == Seq("metrics"))
+    assert(rep1.head.loaded == 2) // dedup kept one of the id=1 rows
+    assert(rep1.head.rejected == 0)
+    // inputs archived away
+    assert(!Files.exists(Paths.get(s"$root/upload/metrics/b1.csv")))
+    assert(Files.exists(Paths.get(s"$root/archive/metrics/b1.csv")))
+
+    // batch 2: a new column appears (Tableau-upgrade scenario)
+    write(s"$root/upload/metrics/manifest.txt",
+      "id,bigint\nv,double precision\nhost,text")
+    write(s"$root/upload/metrics/b2.csv", "id,v,host\n3,3.5,web01\n")
+    val rep2 = Ingest.run(spark, conf)
+    assert(rep2.head.evolvedColumns == Seq("host"))
+
+    val lake = Ingest.readLake(spark, conf, "metrics")
+    assert(lake.count() == 3)
+    assert(lake.columns.sorted.toSeq == Seq("host", "id", "v"))
+    // old rows surface the new column as NULL
+    val hosts = lake.select("host").collect().map(r => Option(r.getString(0))).toSeq
+    assert(hosts.count(_.isEmpty) == 2 && hosts.flatten == Seq("web01"))
+  }
+}

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.queries.StreamingBatch
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double, props: String)
+
+/** B7–B9: streaming results must equal their oracle-checked batch twins
+  * on the same rows, and watermarks must drop too-late rows.
+  */
+class StreamOpsSpec extends SparkSpec {
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  private val rows = Seq(
+    Ev(1, t("2024-01-01 00:05:00"), 1, "click", 1.0, "{}"),
+    Ev(2, t("2024-01-01 00:50:00"), 1, "view", 1.0, "{}"),
+    Ev(3, t("2024-01-01 01:10:00"), 2, "click", 1.0, "{}"),
+    Ev(4, t("2024-01-01 01:20:00"), 1, "click", 1.0, "{}"),  // out of order vs 3
+    Ev(5, t("2024-01-01 02:40:00"), 2, "view", 1.0, "{}"),
+    Ev(6, t("2024-01-01 02:41:00"), 2, "view", 1.0, "{}"))
+
+  private def runStream(build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                        feed: Seq[Seq[Ev]], queryName: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = build(mem.toDF())
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode("complete").start()
+    try {
+      feed.foreach { batch => mem.addData(batch: _*); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(queryName)
+  }
+
+  test("streaming tumbling counts == batch twin on the same rows") {
+    import spark.implicits._
+    val got = runStream(StreamOps.tumblingCounts(_), Seq(rows.take(3), rows.drop(3)), "tumb")
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    // batch twin semantics: date_trunc hour × type (StreamingBatch row
+    // verified against DuckDB) applied to the same in-memory rows
+    val want = rows.toDF()
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start", $"event_type", $"n")
+      .orderBy("start", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("streaming session windows match gaps-and-islands batch semantics") {
+    import spark.implicits._
+    val got = runStream(StreamOps.sessionCounts(_), Seq(rows), "sess")
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    // user 1: 00:05 | 00:50..01:20 (40-min span, gaps < 30m) → 2 sessions
+    // user 2: 01:10 | 02:40,02:41 → 2 sessions
+    assert(got.toSeq == Seq(
+      (1L, t("2024-01-01 00:05:00"), 1L),
+      (1L, t("2024-01-01 00:50:00"), 2L),
+      (2L, t("2024-01-01 01:10:00"), 1L),
+      (2L, t("2024-01-01 02:40:00"), 2L)))
+  }
+
+  test("watermark drops a too-late row in update mode") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.tumblingCounts(mem.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("late")
+      .outputMode("update").start()
+    try {
+      mem.addData(Ev(1, t("2024-01-01 05:00:00"), 1, "click", 1.0, "{}"))
+      q.processAllAvailable() // watermark advances to 04:50
+      mem.addData(Ev(2, t("2024-01-01 01:00:00"), 1, "click", 1.0, "{}")) // 4h late
+      q.processAllAvailable()
+      mem.addData(Ev(3, t("2024-01-01 05:01:00"), 1, "view", 1.0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val hours = spark.table("late").select("window_start").collect()
+      .map(_.getTimestamp(0)).toSet
+    assert(hours.contains(t("2024-01-01 05:00:00")))
+    assert(!hours.contains(t("2024-01-01 01:00:00")), "late row must be dropped")
+  }
+
+  test("dropDuplicatesWithinWatermark keeps one row per event_id") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.dedupWithinWatermark(mem.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.head, rows.head.copy(value = 9.9), rows(1))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup").select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L))
+  }
+
+  test("sliding counts: each event lands in 4 windows") {
+    import spark.implicits._
+    val got = runStream(StreamOps.slidingCounts(_), Seq(rows.take(1)), "slide")
+    assert(got.count() == 4)
+    assert(got.agg(sum("n")).collect().head.getLong(0) == 4)
+  }
+}
