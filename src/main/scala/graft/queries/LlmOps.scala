@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables => T}
-import graft.functions.{WeightedAvg, WInput}
+import graft.functions.{VectorOps, WeightedAvg, WInput}
 
 /** SURVEY.md §2A group 10 — LLM-pipeline operators: dedup, text
   * normalization, tf·idf, similarity. Float discipline: list folds run
@@ -92,15 +92,13 @@ object LlmOps {
       .limit(20)
   }
 
-  /** Shared cosine fragments — fold order is index order in both
-    * engines, so the doubles match bit-for-bit before rounding.
+  /** Spark-side cosine: per-pair dot via the primitive-loop kernel, the
+    * two norms hoisted to one sqrt(ssq) per ROW (not per pair) — the
+    * identical IEEE computation as the oracle's per-pair formulation,
+    * since sqrt/fold are deterministic, at a fraction of the work.
     */
-  private val sparkDot =
-    "aggregate(zip_with(a_emb, b_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-  private def sparkSsq(c: String) =
-    s"aggregate(transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-  private val sparkCosine =
-    s"round($sparkDot / (sqrt(${sparkSsq("a_emb")}) * sqrt(${sparkSsq("b_emb")})), 6)"
+  private def sparkSim =
+    round(VectorOps.dot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")), 6)
 
   private val duckDot =
     "list_reduce(list_transform(list_zip(a.embedding, b.embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)"
@@ -121,11 +119,13 @@ object LlmOps {
        |LIMIT 10""".stripMargin
   ) { (s, d) =>
     val e = T.embeddings(s, d)
-    val a = e.select(col("vec_id").as("a"), col("embedding").as("a_emb"))
+    val a = e.select(col("vec_id").as("a"), col("embedding").as("a_emb"),
+        sqrt(VectorOps.ssq(col("embedding"))).as("a_norm"))
       .filter(col("a") < 50)
-    val b = e.select(col("vec_id").as("b"), col("embedding").as("b_emb"))
+    val b = e.select(col("vec_id").as("b"), col("embedding").as("b_emb"),
+      sqrt(VectorOps.ssq(col("embedding"))).as("b_norm"))
     a.join(b, col("a") < col("b"))
-      .select(col("a"), col("b"), expr(sparkCosine).as("sim"))
+      .select(col("a"), col("b"), sparkSim.as("sim"))
       .orderBy(col("sim").desc, col("a").asc_nulls_first, col("b").asc_nulls_first)
       .limit(10)
   }
@@ -143,10 +143,12 @@ object LlmOps {
        |ORDER BY a ASC NULLS FIRST, b ASC NULLS FIRST""".stripMargin
   ) { (s, d) =>
     val e = T.embeddings(s, d).filter(col("vec_id") < 100)
-    val a = e.select(col("vec_id").as("a"), col("embedding").as("a_emb"))
-    val b = e.select(col("vec_id").as("b"), col("embedding").as("b_emb"))
+    val a = e.select(col("vec_id").as("a"), col("embedding").as("a_emb"),
+      sqrt(VectorOps.ssq(col("embedding"))).as("a_norm"))
+    val b = e.select(col("vec_id").as("b"), col("embedding").as("b_emb"),
+      sqrt(VectorOps.ssq(col("embedding"))).as("b_norm"))
     a.join(b, col("a") < col("b"))
-      .select(col("a"), col("b"), expr(sparkCosine).as("sim"))
+      .select(col("a"), col("b"), sparkSim.as("sim"))
       .filter(col("sim") >= 0.2)
       .orderBy(col("a").asc_nulls_first, col("b").asc_nulls_first)
   }

@@ -152,11 +152,10 @@ object LlmOpsAnn {
       .orderBy(col("hamming").asc_nulls_first)
   }
 
-  private def cosExpr(aEmb: String, bEmb: String): String = {
-    def ssq(c: String) =
-      s"aggregate(transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-    s"""aggregate(zip_with($aEmb, $bEmb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)
-        / (sqrt(${ssq(aEmb)}) * sqrt(${ssq(bEmb)}))"""
+  private def cosCol(aEmb: String, bEmb: String): Column = {
+    import graft.functions.VectorOps
+    VectorOps.dot(col(aEmb), col(bEmb)) /
+      (sqrt(VectorOps.ssq(col(aEmb))) * sqrt(VectorOps.ssq(col(bEmb))))
   }
 
   private def duckCos(aEmb: String, bEmb: String): String = {
@@ -206,7 +205,7 @@ object LlmOpsAnn {
     val e = T.embeddings(s, d)
     val cent = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
-    val cosAssign = expr(cosExpr("embedding", "c_emb"))
+    val cosAssign = cosCol("embedding", "c_emb")
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(cosAssign.desc, col("cent_id").asc)
     val assign = e.crossJoin(broadcast(cent))
@@ -220,7 +219,7 @@ object LlmOpsAnn {
     val nbr = assigned
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
         col("cent_id").as("n_cent"))
-    val cosSearch = expr(cosExpr("q_emb", "n_emb"))
+    val cosSearch = cosCol("q_emb", "n_emb")
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(cosSearch.desc, col("neighbor_id").asc)
     q.join(nbr, col("q_cent") === col("n_cent") && col("query_id") =!= col("neighbor_id"))

@@ -76,17 +76,41 @@ object LlmOpsExt {
       |GROUP BY 1, 2
       |ORDER BY label_a NULLS FIRST, label_b NULLS FIRST""".stripMargin
   ) { (s, d) =>
+    // An all-pairs numeric kernel is the one place Catalyst expression
+    // evaluation is the wrong tool: per-pair UDF/HOF overhead is ~µs
+    // while the math is ~100 ns. Broadcast the (small) right side and
+    // run primitive loops per partition — same left-to-right double
+    // fold as the oracle's list_reduce, so results stay bit-identical.
+    // At real scale the broadcastable side is the LSH/IVF-pruned
+    // candidate set, never the full table (B6 / ann_ivf_topk).
+    import s.implicits._
     val e = T.embeddings(s, d)
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
-      col("label").as("label_a"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
-      col("label").as("label_b"))
-    val dot =
-      "aggregate(zip_with(a_emb, b_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-    def ssq(c: String) =
-      s"aggregate(transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-    a.join(b, col("a_id") < col("b_id"))
-      .filter(expr(s"$dot / (sqrt(${ssq("a_emb")}) * sqrt(${ssq("b_emb")})) >= 0.4"))
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Array[Float], Int)]
+    def norm(v: Array[Float]): Double = {
+      var ss = 0.0; var i = 0
+      while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(ss)
+    }
+    val side = e.collect().sortBy(_._1)
+    val bcast = s.sparkContext.broadcast(side.map { case (id, emb, lbl) =>
+      (id, emb, lbl, norm(emb))
+    })
+    val pairs = e.repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val bs = bcast.value
+        it.flatMap { case (aId, aEmb, aLbl) =>
+          val aNorm = norm(aEmb)
+          bs.iterator.filter(_._1 > aId).flatMap { case (_, bEmb, bLbl, bNorm) =>
+            var dot = 0.0; var i = 0
+            val n = math.min(aEmb.length, bEmb.length)
+            while (i < n) { dot += aEmb(i).toDouble * bEmb(i).toDouble; i += 1 }
+            if (dot / (aNorm * bNorm) >= 0.4) Some((aLbl, bLbl)) else None
+          }
+        }
+      }
+      .toDF("label_a", "label_b")
+    pairs
       .groupBy(col("label_a"), col("label_b"))
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("label_a").asc_nulls_first, col("label_b").asc_nulls_first)
@@ -126,26 +150,36 @@ object LlmOpsExt {
       |ORDER BY actual NULLS FIRST, predicted NULLS FIRST""".stripMargin
   ) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val tg = T.documents(s, d)
+    val docTg = T.documents(s, d)
       .select(col("doc_id"), col("lang"),
-        explode(array_distinct(expr(
+        array_distinct(expr(
           """transform(sequence(1, greatest(length(lower(text)) - 2, 0)),
-             i -> substring(lower(text), i, 3))"""))).as("g"))
+             i -> substring(lower(text), i, 3))""")).as("tgs"))
+      // feeds both the profile build and the prediction branch; cache so
+      // the per-char substring explode-equivalent runs once
+      .cache()
     val wProfile = Window.partitionBy(col("lang"))
       .orderBy(col("cnt").desc, col("g").asc)
-    val profile = tg.groupBy(col("lang"), col("g")).agg(count(lit(1)).as("cnt"))
+    val profile = docTg
+      .select(col("lang"), explode(col("tgs")).as("g"))
+      .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("cnt"))
       .withColumn("rn", row_number().over(wProfile))
       .filter(col("rn") <= 20)
-      .select(col("lang").as("cand"), col("g"))
-    val overlap = tg.join(profile, "g")
-      .groupBy(col("doc_id"), col("lang").as("actual"), col("cand"))
-      .agg(count(lit(1)).as("n"))
+      .groupBy(col("lang")).agg(collect_set(col("g")).as("profile_tgs"))
+      .select(col("lang").as("cand"), col("profile_tgs"))
+    // overlap via broadcast array_intersect against the 5 profile rows:
+    // identical to the oracle's tg⋈profile inner join (overlap > 0 ⇔ a
+    // join row exists; intersect counts distinct matches, and both doc
+    // trigrams and profile entries are distinct), with no 1.5M-row
+    // shuffle on the overlap side.
     val wPred = Window.partitionBy(col("doc_id"))
       .orderBy(col("n").desc, col("cand").asc)
-    overlap
+    docTg.crossJoin(broadcast(profile))
+      .withColumn("n", size(array_intersect(col("tgs"), col("profile_tgs"))))
+      .filter(col("n") > 0)
       .withColumn("rn", row_number().over(wPred))
       .filter(col("rn") === 1)
-      .groupBy(col("actual"), col("cand").as("predicted"))
+      .groupBy(col("lang").as("actual"), col("cand").as("predicted"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("actual").asc_nulls_first, col("predicted").asc_nulls_first)
   }
