@@ -23,7 +23,13 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame   = tbl(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = tbl(s, d, "lineitem")
   def documents(s: SparkSession, d: String): DataFrame = tbl(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = tbl(s, d, "embeddings")
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    // every vector query loads through here — register the native
+    // codegen kernels so VectorOps resolves to them, not the UDF tier
+    graft.functions.VecExpressions.register(s)
+    graft.functions.VectorOps.nativeRegistered = true
+    tbl(s, d, "embeddings")
+  }
 
   /** events.parquet carries a parquet TIMESTAMP(NANOS) column that Spark
     * 4.x refuses by default (PARQUET_TYPE_ILLEGAL). Read it as Long nanos

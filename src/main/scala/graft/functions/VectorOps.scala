@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.functions.{call_function, udf}
 
 /** Hot-path vector kernels. Semantically identical to the declarative
   * zip_with/aggregate HOF formulation (left-to-right fold in double —
@@ -10,6 +10,10 @@ import org.apache.spark.sql.functions.udf
   * evaluate the lambda per element; these run a primitive while-loop
   * per row. At 2M pairs × 64 dims that is the difference between 76 s
   * and ~2 s on this machine.
+  *
+  * Two tiers: the native codegen expressions (VecExpressions — no UDF
+  * boundary at all, preferred; Tables.embeddings registers them) and an
+  * Array[Float] UDF fallback for sessions without the registration.
   */
 object VectorOps {
 
@@ -30,9 +34,13 @@ object VectorOps {
     s
   }
 
+  @volatile private[graft] var nativeRegistered = false
+
   /** Σ aᵢ·bᵢ in double, index order. */
-  def dot(a: Column, b: Column): Column = dotUdf(a, b)
+  def dot(a: Column, b: Column): Column =
+    if (nativeRegistered) call_function("graft_vec_dot", a, b) else dotUdf(a, b)
 
   /** Σ aᵢ² in double, index order. */
-  def ssq(a: Column): Column = ssqUdf(a)
+  def ssq(a: Column): Column =
+    if (nativeRegistered) call_function("graft_vec_ssq", a) else ssqUdf(a)
 }

@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables => T}
+
+/** Additional aggregate surface: correlation/covariance, exact
+  * percentiles, ordered string aggregation. Doubles through iterative
+  * co-moment/interpolation math are rounded to 6 dp on both sides (D2
+  * mitigation, as for stddev).
+  */
+object AggregatesExt {
+
+  val aggCorr: Q = Q(
+    "agg_corr",
+    """SELECT l_returnflag,
+      |       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+      |       round(covar_samp(l_quantity, l_extendedprice), 6) AS qty_price_covar
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    T.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_covar"))
+      .orderBy(col("l_returnflag").asc_nulls_first)
+  }
+
+  /** Exact interpolated percentiles (not the approx sketch — that is
+    * §2B B10).
+    */
+  val aggPercentile: Q = Q(
+    "agg_percentile",
+    """SELECT l_returnflag,
+      |       round(median(CAST(l_quantity AS DOUBLE)), 6) AS med_qty,
+      |       round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 6) AS p25_qty,
+      |       round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.9), 6) AS p90_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    T.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(median(col("l_quantity")), 6).as("med_qty"),
+        round(percentile(col("l_quantity"), lit(0.25)), 6).as("p25_qty"),
+        round(percentile(col("l_quantity"), lit(0.9)), 6).as("p90_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first)
+  }
+
+  /** Ordered, distinct string aggregation. collect_set order is
+    * nondeterministic (D4) — array_sort pins it; the oracle's
+    * string_agg(DISTINCT ... ORDER BY) is the same contract.
+    */
+  val fnStringagg: Q = Q(
+    "fn_stringagg",
+    """SELECT c_nationkey,
+      |       string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+      |       count(DISTINCT c_mktsegment) AS n_segments
+      |FROM customer
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    T.customer(s, d)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segments"),
+        countDistinct(col("c_mktsegment")).as("n_segments"))
+      .orderBy(col("c_nationkey").asc_nulls_first)
+  }
+
+  val all: Seq[Q] = Seq(aggCorr, aggPercentile, fnStringagg)
+}
