@@ -86,8 +86,8 @@ object VecExpressions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_vec_dot",
-      exprs => FloatVecDot(exprs(0), exprs(1)), "builtin")
+      exprs => FloatVecDot(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_vec_ssq",
-      exprs => FloatVecSsq(exprs.head), "builtin")
+      exprs => FloatVecSsq(exprs.head), "scala_udf")
   }
 }
