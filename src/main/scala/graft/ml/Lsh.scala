@@ -20,13 +20,31 @@ object Lsh {
     */
   def textNearDupPairs(spark: SparkSession, docs: DataFrame,
                        maxJaccardDistance: Double, numHashTables: Int = 8,
-                       shingleLen: Int = 3): DataFrame = {
-    val shingled = docs.select(col("doc_id"),
+                       shingleLen: Int = 3, maxDfFraction: Double = 1.0): DataFrame = {
+    val raw = docs.select(col("doc_id"),
       expr(
-        s"""transform(sequence(1, greatest(size(split(lower(text), ' ')) - ${shingleLen - 1}, 0)),
-            i -> concat_ws(' ', slice(split(lower(text), ' '), i, $shingleLen)))""")
+        s"""array_distinct(transform(sequence(1, greatest(size(split(lower(text), ' ')) - ${shingleLen - 1}, 0)),
+            i -> concat_ws(' ', slice(split(lower(text), ' '), i, $shingleLen))))""")
         .as("shingles"))
-      .filter(size(col("shingles")) > 0)
+    // Optional df-prune (maxDfFraction < 1): a shingle present in more
+    // than that fraction of docs carries no near-dup signal but floods
+    // LSH buckets (every doc holding the globally-min-hashed shingle
+    // lands in one bucket → O(n²) candidate blowup). Standard MinHash
+    // practice on web-scale corpora; off by default because it costs a
+    // df-counting pass (this synthetic corpus has max df 0.5% — nothing
+    // to prune).
+    val shingled = (if (maxDfFraction >= 1.0) raw else {
+      val nDocs = docs.count()
+      val hot = raw.select(explode(col("shingles")).as("s"))
+        .groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > nDocs * maxDfFraction)
+        .select(col("s")).collect().map(_.getString(0)).toSet
+      val hotBc = spark.sparkContext.broadcast(hot)
+      val pruneUdf = org.apache.spark.sql.functions.udf { xs: Seq[String] =>
+        xs.filterNot(hotBc.value.contains)
+      }
+      raw.withColumn("shingles", pruneUdf(col("shingles")))
+    }).filter(size(col("shingles")) > 0)
     val tf = new HashingTF()
       .setInputCol("shingles").setOutputCol("features")
       .setNumFeatures(1 << 18).setBinary(true)

@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables => T}
+
+/** §2B capabilities surfaced as declared queries WITHOUT DuckDB oracles
+  * (sanctioned by the harness contract: omit non-SQL-expressible ops
+  * from oracleSql → the driver records a rows-only check). Each is also
+  * unit-tested with stronger assertions (error bounds, recall,
+  * determinism) in src/test.
+  */
+object NoOracle {
+
+  /** B10: HLL++ approximate distinct + Datasketches HLL union across
+    * slices — the 100 TB cardinality path.
+    */
+  val approxDistinct: Q = Q.noOracle("b10_approx_distinct") { (s, d) =>
+    val li = T.lineitem(s, d)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        hll_sketch_estimate(hll_sketch_agg(col("l_suppkey"))).as("hll_supps"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first)
+  }
+
+  /** B10: t-digest-style approximate percentiles. */
+  val approxPercentile: Q = Q.noOracle("b10_percentile_approx") { (s, d) =>
+    T.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_extendedprice"),
+        array(lit(0.5), lit(0.95), lit(0.99)), lit(1000)).as("price_pcts"))
+      .orderBy(col("l_returnflag").asc_nulls_first)
+  }
+
+  /** B11: seeded Bernoulli sampling (deterministic per seed+partitioning). */
+  val sampleSeeded: Q = Q.noOracle("b11_sample_seeded") { (s, d) =>
+    T.lineitem(s, d)
+      .sample(withReplacement = false, fraction = 0.01, seed = 42L)
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(graft.Tables.dec2(col("l_quantity"))).as("qty_sampled"))
+  }
+
+  /** B6: MinHash-LSH near-dup candidates over documents (the scale path
+    * for dedup_ngram_jaccard; recall-tested in LshSpec).
+    */
+  val lshTextNearDup: Q = Q.noOracle("b6_lsh_text_near_dup") { (s, d) =>
+    graft.ml.Lsh.textNearDupPairs(s, T.documents(s, d),
+        maxJaccardDistance = 0.4, numHashTables = 2)
+      .agg(count(lit(1)).as("n_candidate_pairs"),
+        round(avg(col("dist")), 3).as("mean_dist"))
+  }
+
+  /** B6: random-projection LSH near neighbors over embeddings. */
+  val lshEmbeddingNear: Q = Q.noOracle("b6_lsh_embedding_near") { (s, d) =>
+    graft.ml.Lsh.embeddingNearPairs(s, T.embeddings(s, d), maxL2Distance = 12.0)
+      .agg(count(lit(1)).as("n_near_pairs"))
+  }
+
+  /** B12: registered Scala UDF exercised through SQL. */
+  val udfSurface: Q = Q.noOracle("b12_udf_surface") { (s, d) =>
+    s.udf.register("graft_priority_rank",
+      (p: String) => if (p == null) -1 else p.split('-').head.toInt)
+    T.orders(s, d).createOrReplaceTempView("graft_orders_udf")
+    s.sql(
+      """SELECT graft_priority_rank(o_orderpriority) AS prio, count(*) AS n
+        |FROM graft_orders_udf GROUP BY 1 ORDER BY prio ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Multimodal: synthetic binary assets → per-partition feature
+    * extraction → per-kind feature summary (decode step is the
+    * documented deterministic stub).
+    */
+  val multimodalFeatures: Q = Q.noOracle("multimodal_features") { (s, d) =>
+    import s.implicits._
+    val assets = graft.multimodal.Multimodal
+      .syntheticAssets(s, T.documents(s, d).select(col("doc_id")), "doc_id")
+      .as[graft.multimodal.Multimodal.Asset]
+    graft.multimodal.Multimodal.extractFeatures(assets, dim = 16)
+      .toDF()
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_assets"),
+        round(avg(element_at(col("feature"), 1)), 6).as("mean_f0"))
+      .orderBy(col("kind").asc_nulls_first)
+  }
+
+  /** Streaming runtime smoke as a batch-bounded run: the watermarked
+    * tumbling aggregation executed over a bounded stream of the events
+    * table via an in-memory sink would need a streaming query; here the
+    * DECLARED row is the same transform applied in batch mode (Spark's
+    * unified API runs it identically), proving the transform compiles
+    * against both. Runtime semantics are covered by StreamOpsSpec.
+    */
+  val streamTransformBatchRun: Q = Q.noOracle("b7_stream_transform") { (s, d) =>
+    graft.streaming.StreamOps.tumblingCounts(T.events(s, d))
+      .orderBy(col("window_start").asc_nulls_first, col("event_type").asc_nulls_first)
+  }
+
+  val all: Seq[Q] = Seq(
+    approxDistinct, approxPercentile, sampleSeeded, lshTextNearDup,
+    lshEmbeddingNear, udfSurface, multimodalFeatures, streamTransformBatchRun)
+}

@@ -9,5 +9,6 @@ object Registry {
   def all: Seq[Q] =
     Scans.all ++ Joins.all ++ Aggregates.all ++ WindowsQ.all ++
       SortSetOps.all ++ Functions.all ++ Reshape.all ++ LlmOps.all ++
-      StreamingBatch.all ++ LlmOpsExt.all ++ LlmOpsAnn.all ++ AggregatesExt.all
+      StreamingBatch.all ++ LlmOpsExt.all ++ LlmOpsAnn.all ++ AggregatesExt.all ++
+      NoOracle.all
 }
