@@ -120,6 +120,35 @@ object WindowsQ {
       .orderBy(col("o_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
   }
 
+  /** Distribution functions: percent_rank/cume_dist are exact integer
+    * ratios (identical double division in both engines — no rounding
+    * needed); nth_value needs the explicit full frame, like last_value.
+    */
+  val windowDistribution: Q = Q(
+    "window_distribution",
+    """SELECT o_custkey, o_orderkey,
+      |       percent_rank() OVER w AS pct_rank,
+      |       cume_dist() OVER w AS cume,
+      |       nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+      |           ORDER BY o_totalprice DESC, o_orderkey
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_biggest
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val order = Seq(col("o_totalprice").desc, col("o_orderkey").asc)
+    val w = Window.partitionBy(col("o_custkey")).orderBy(order: _*)
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    T.orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        nth_value(col("o_orderkey"), 2).over(wFull).as("second_biggest"))
+      .orderBy(col("o_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+  }
+
   val all: Seq[Q] = Seq(
-    windowRank, windowRunning, windowLeadLag, windowRangeFrame, windowFirstLastNtile)
+    windowRank, windowRunning, windowLeadLag, windowRangeFrame,
+    windowFirstLastNtile, windowDistribution)
 }

@@ -58,6 +58,14 @@ class NullEdgeSpec extends SparkSpec {
     assert(a.except(b).collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
+  test("anti join emits the unmatched rows (driver data gives 0 — non-empty path here)") {
+    val other = df.filter(col("k") === 1).select(col("k").as("k2"))
+    val anti = df.join(other, col("k") === col("k2"), "left_anti")
+    // k=2 row plus both null-key rows survive (nulls never match)
+    assert(anti.count() == 3)
+    assert(anti.filter(col("k") === 2).count() == 1)
+  }
+
   test("window functions: lag yields null at partition head; ignoreNulls last() skips") {
     val w = Window.partitionBy(col("k")).orderBy(col("v").asc_nulls_first)
     val r = df.filter(col("k") === 1)
