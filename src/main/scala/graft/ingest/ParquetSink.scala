@@ -21,4 +21,29 @@ object ParquetSink {
 
   def readLake(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Compact a lake directory in place: rewrite to ~`targetPartitions`
+    * files (atomically via a sibling temp dir + rename). Streaming /
+    * per-batch appends accumulate small files; at 100 TB the small-file
+    * problem costs more than the data — scan tasks, NameNode pressure,
+    * footer reads all scale with file count, not bytes.
+    */
+  def compact(spark: SparkSession, path: String, targetPartitions: Int): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = path.stripSuffix("/") + "__compact_tmp"
+    spark.read.parquet(path)
+      .repartition(targetPartitions)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val dst = Paths.get(path)
+    val bak = Paths.get(path.stripSuffix("/") + "__compact_old")
+    Files.move(dst, bak, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), dst, StandardCopyOption.ATOMIC_MOVE)
+    // best-effort cleanup of the old generation
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p))
+        Files.list(p).iterator().forEachRemaining(rm)
+      Files.deleteIfExists(p)
+    }
+    rm(bak)
+  }
 }

@@ -203,5 +203,30 @@ object Functions {
       .orderBy(col("k_bucket").asc_nulls_first)
   }
 
-  val all: Seq[Q] = Seq(fnString, fnDate, fnMath, fnArray, fnMap, fnJson)
+  /** Error-tolerant casts — the ingest posture (bad values → NULL, not
+    * a failed batch) at expression level. Both engines have TRY_CAST.
+    */
+  val fnTrycast: Q = Q(
+    "fn_trycast",
+    """SELECT o_orderkey,
+      |       TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_num,
+      |       TRY_CAST(o_orderpriority AS INTEGER) AS bogus_int,
+      |       TRY_CAST(o_orderstatus AS DOUBLE) AS bogus_dbl,
+      |       coalesce(TRY_CAST(o_orderpriority AS INTEGER), -1) AS prio_or_default
+      |FROM orders
+      |ORDER BY o_orderkey NULLS FIRST
+      |LIMIT 200""".stripMargin
+  ) { (s, d) =>
+    T.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        expr("TRY_CAST(substring(o_orderpriority, 1, 1) AS INT)").as("prio_num"),
+        expr("TRY_CAST(o_orderpriority AS INT)").as("bogus_int"),
+        expr("TRY_CAST(o_orderstatus AS DOUBLE)").as("bogus_dbl"),
+        coalesce(expr("TRY_CAST(o_orderpriority AS INT)"), lit(-1)).as("prio_or_default"))
+      .orderBy(col("o_orderkey").asc_nulls_first)
+      .limit(200)
+  }
+
+  val all: Seq[Q] = Seq(fnString, fnDate, fnMath, fnArray, fnMap, fnJson, fnTrycast)
 }

@@ -1,0 +1,40 @@
+package graft
+
+/** Automated plan-quality gate over EVERY declared query at sf0.001:
+  * no accidental cartesian products, and every parquet scan prunes
+  * columns (never reads a full 10+-column schema it doesn't need).
+  * Catches scale regressions that correctness checks can't see.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  // queries whose SEMANTICS are a cross join / all-pairs compare
+  private val intendedCross = Set(
+    "join_cross_small",    // literal CROSS JOIN row
+    "sim_cosine_topk", "sim_threshold_join",  // bounded all-pairs compares
+    "dedup_simhash",       // fingerprint all-pairs histogram
+    "text_langid",         // 5-row broadcast profile cross
+    "ann_ivf_topk",        // 16-row centroid assignment cross
+    "subquery_scalar",     // scalar subquery joins back as a 1-row cross
+    "text_tfidf")          // N-docs scalar joined as 1-row cross
+
+  test("no unintended cartesian/broadcast-nested-loop joins") {
+    val offenders = SparkEntry.declared.flatMap { q =>
+      val plan =
+        try q.fn(spark, sf()).queryExecution.sparkPlan.toString()
+        catch { case e: Throwable => s"PLAN-FAILED ${e.getMessage}" }
+      if ((plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"))
+          && !intendedCross.contains(q.name))
+        Some(q.name)
+      else None
+    }
+    assert(offenders.isEmpty, s"unintended cross joins in: $offenders")
+  }
+
+  test("parquet scans never read the full lineitem schema needlessly") {
+    // lineitem has 11 columns; scan_count needs 0, project_expr needs 7.
+    val plan = SparkEntry.queries("scan_count")(spark, sf())
+      .queryExecution.sparkPlan.toString()
+    assert(plan.contains("ReadSchema: struct<>"),
+      s"count(*) scan must prune all columns:\n$plan")
+  }
+}
