@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables => T}
+
+/** Remaining scalar/aggregate/set-op surface: bitwise ops, crypto
+  * hashes, boolean aggregates, arg-max/min, multiset set ops.
+  * Dialect note: DuckDB's `^` is POWER — its bitwise XOR is `xor()`
+  * (Spark SQL: `^`).
+  */
+object MiscOps {
+
+  val fnBitwise: Q = Q(
+    "fn_bitwise",
+    """SELECT o_orderkey,
+      |       o_orderkey & 255 AS low_byte,
+      |       o_orderkey | 15 AS or15,
+      |       xor(o_orderkey, 255) AS xor255,
+      |       o_orderkey << 2 AS shl2,
+      |       o_orderkey >> 2 AS shr2,
+      |       bit_count(o_orderkey) AS popcount
+      |FROM orders
+      |ORDER BY o_orderkey NULLS FIRST
+      |LIMIT 200""".stripMargin
+  ) { (s, d) =>
+    T.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        expr("o_orderkey & 255").as("low_byte"),
+        expr("o_orderkey | 15").as("or15"),
+        expr("o_orderkey ^ 255").as("xor255"),
+        expr("shiftleft(o_orderkey, 2)").as("shl2"),
+        expr("shiftright(o_orderkey, 2)").as("shr2"),
+        bit_count(col("o_orderkey")).as("popcount"))
+      .orderBy(col("o_orderkey").asc_nulls_first)
+      .limit(200)
+  }
+
+  val fnHash: Q = Q(
+    "fn_hash",
+    """SELECT c_custkey, md5(c_name) AS name_md5, sha256(c_name) AS name_sha256
+      |FROM customer
+      |ORDER BY c_custkey NULLS FIRST
+      |LIMIT 100""".stripMargin
+  ) { (s, d) =>
+    T.customer(s, d)
+      .select(col("c_custkey"), md5(col("c_name")).as("name_md5"),
+        sha2(col("c_name"), 256).as("name_sha256"))
+      .orderBy(col("c_custkey").asc_nulls_first)
+      .limit(100)
+  }
+
+  val aggBool: Q = Q(
+    "agg_bool",
+    """SELECT c_mktsegment,
+      |       bool_and(c_acctbal > 0) AS all_positive,
+      |       bool_or(c_acctbal > 9000) AS any_rich,
+      |       count(*) FILTER (WHERE c_acctbal < 0) AS n_negative
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    T.customer(s, d)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        expr("bool_and(c_acctbal > 0)").as("all_positive"),
+        expr("bool_or(c_acctbal > 9000)").as("any_rich"),
+        count(when(col("c_acctbal") < 0, 1)).as("n_negative"))
+      .orderBy(col("c_mktsegment").asc_nulls_first)
+  }
+
+  /** arg-max/min keyed on the UNIQUE custkey (ties on a non-unique key
+    * would be nondeterministic — D4).
+    */
+  val aggMinmaxBy: Q = Q(
+    "agg_minmax_by",
+    """SELECT c_nationkey,
+      |       arg_max(c_name, c_custkey) AS newest_customer,
+      |       arg_min(c_name, c_custkey) AS oldest_customer,
+      |       count(*) AS n
+      |FROM customer
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    T.customer(s, d)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        max_by(col("c_name"), col("c_custkey")).as("newest_customer"),
+        min_by(col("c_name"), col("c_custkey")).as("oldest_customer"),
+        count(lit(1)).as("n"))
+      .orderBy(col("c_nationkey").asc_nulls_first)
+  }
+
+  val setIntersectAll: Q = Q(
+    "set_intersect_all",
+    """SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+      |INTERSECT ALL
+      |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |ORDER BY o_custkey NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val o = T.orders(s, d)
+    o.filter(col("o_totalprice") > 100000).select(col("o_custkey"))
+      .intersectAll(
+        o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")))
+      .orderBy(col("o_custkey").asc_nulls_first)
+  }
+
+  val setExceptAll: Q = Q(
+    "set_except_all",
+    """SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+      |EXCEPT ALL
+      |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |ORDER BY o_custkey NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val o = T.orders(s, d)
+    o.filter(col("o_totalprice") > 100000).select(col("o_custkey"))
+      .exceptAll(
+        o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")))
+      .orderBy(col("o_custkey").asc_nulls_first)
+  }
+
+  val all: Seq[Q] = Seq(
+    fnBitwise, fnHash, aggBool, aggMinmaxBy, setIntersectAll, setExceptAll)
+}

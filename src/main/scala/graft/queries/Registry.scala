@@ -10,5 +10,5 @@ object Registry {
     Scans.all ++ Joins.all ++ Aggregates.all ++ WindowsQ.all ++
       SortSetOps.all ++ Functions.all ++ Reshape.all ++ LlmOps.all ++
       StreamingBatch.all ++ LlmOpsExt.all ++ LlmOpsAnn.all ++ AggregatesExt.all ++
-      NoOracle.all
+      MiscOps.all ++ NoOracle.all
 }
