@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental rollup maintenance — the standard 100 TB pattern for
+  * keeping a day-grain aggregate current without recomputing history:
+  * only partitions newer than the rollup's high-water mark are
+  * aggregated and appended. Works because day-grain groups never span
+  * partitions (the lake is partitioned by the same day key the rollup
+  * groups on).
+  *
+  * Generalizes the reference's "periodic batch rollups of monitoring
+  * samples" to a restatement-free incremental form. Assumes day-closed
+  * arrival (the reference's daily batch drops): rows for a day at or
+  * below the high-water mark are complete when first rolled; late data
+  * for closed days needs a restatement pass, not this fast path.
+  */
+object IncrementalRollup {
+
+  /** Aggregate `fact` (filtered to days > high-water mark) by day +
+    * `keys`, append to the rollup at `rollupPath`, and return the
+    * updated rollup frame. `aggs` must be day-local (sum/count/min/max —
+    * anything distributive).
+    */
+  def update(spark: SparkSession, fact: DataFrame, tsCol: String,
+             keys: Seq[String], aggs: Map[String, String],
+             rollupPath: String): DataFrame = {
+    val dayCol = to_date(col(tsCol)).as("day")
+    val existing: Option[DataFrame] =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(rollupPath)))
+        Some(spark.read.parquet(rollupPath))
+      else None
+
+    val highWater = existing
+      .map(_.agg(max(col("day"))).collect().head)
+      .flatMap(r => Option(r.getDate(0)))
+
+    val fresh = highWater match {
+      case Some(hw) => fact.filter(to_date(col(tsCol)) > lit(hw))
+      case None     => fact
+    }
+
+    val delta = fresh
+      .groupBy((dayCol +: keys.map(col)): _*)
+      .agg(aggs.head match { case (c, f) => expr(s"$f($c)").as(s"${f}_$c") },
+        aggs.tail.map { case (c, f) => expr(s"$f($c)").as(s"${f}_$c") }.toSeq: _*)
+
+    if (delta.isEmpty && existing.isDefined) existing.get
+    else {
+      delta.write.mode(SaveMode.Append).parquet(rollupPath)
+      spark.read.parquet(rollupPath)
+    }
+  }
+}

@@ -46,6 +46,41 @@ class IngestSpec extends SparkSpec {
     assert(st("d").dataType == StringType)
   }
 
+  test("volume CSV path: 60k-row lineitem batch loads losslessly") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val root = Files.createTempDirectory("graft_vol").toString
+    val li = graft.Tables.lineitem(spark, sf("sf0.01"))
+    li.coalesce(1).write.option("header", "true")
+      .csv(s"$root/tmpcsv")
+    // move the csv into the ingest layout
+    val csv = Files.list(Paths.get(s"$root/tmpcsv"))
+      .filter(_.toString.endsWith(".csv")).findFirst().get()
+    write(s"$root/upload/lineitem/manifest.txt",
+      """l_orderkey,bigint
+        |l_partkey,bigint
+        |l_suppkey,bigint
+        |l_linenumber,integer
+        |l_quantity,double precision
+        |l_extendedprice,double precision
+        |l_discount,double precision
+        |l_tax,double precision
+        |l_returnflag,text
+        |l_linestatus,text
+        |l_shipdate,timestamp without time zone""".stripMargin)
+    Files.move(csv, Paths.get(s"$root/upload/lineitem/b1.csv"))
+    val conf = Ingest.Config(
+      uploadDir = s"$root/upload", lakeDir = s"$root/lake",
+      archiveDir = s"$root/archive")
+    val rep = Ingest.run(spark, conf).find(_.table == "lineitem").get
+    assert(rep.loaded == 60000 && rep.rejected == 0)
+    val lake = Ingest.readLake(spark, conf, "lineitem")
+    // lossless: decimal-exact sum of a money column survives the
+    // parquet -> CSV -> parquet round trip
+    val a = li.agg(sum(graft.Tables.dec2(col("l_extendedprice")))).collect().head.getDecimal(0)
+    val b = lake.agg(sum(graft.Tables.dec2(col("l_extendedprice")))).collect().head.getDecimal(0)
+    assert(a == b)
+  }
+
   test("Ingest.run: load, dedup, evolve add-only across batches, archive") {
     val root = Files.createTempDirectory("graft_ingest").toString
     val conf = Ingest.Config(
