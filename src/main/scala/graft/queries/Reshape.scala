@@ -162,7 +162,27 @@ object Reshape {
         |ORDER BY nk_a ASC NULLS FIRST, nk_b ASC NULLS FIRST""".stripMargin)
   }
 
+  /** Outer explode: docs whose filtered token list is empty survive
+    * with a NULL token (plain explode would drop them). Oracle: LEFT
+    * JOIN LATERAL unnest.
+    */
+  val explodeOuter: Q = Q(
+    "explode_outer_tokens",
+    """SELECT d.doc_id, t.tok AS long_token
+      |FROM (SELECT doc_id,
+      |             list_filter(string_split(text, ' '), x -> length(x) > 12) AS xs
+      |      FROM documents) d
+      |LEFT JOIN LATERAL unnest(d.xs) AS t(tok) ON true
+      |ORDER BY d.doc_id NULLS FIRST, long_token ASC NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    T.documents(s, d)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> length(x) > 12)").as("xs"))
+      .select(col("doc_id"), explode_outer(col("xs")).as("long_token"))
+      .orderBy(col("doc_id").asc_nulls_first, col("long_token").asc_nulls_first)
+  }
+
   val all: Seq[Q] = Seq(
     explodeTokens, generatorSequence, pivotWide, unpivotLong,
-    subqueryScalar, subqueryCorrelated, cteReuse)
+    subqueryScalar, subqueryCorrelated, cteReuse, explodeOuter)
 }
