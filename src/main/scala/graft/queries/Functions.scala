@@ -228,5 +228,38 @@ object Functions {
       .limit(200)
   }
 
-  val all: Seq[Q] = Seq(fnString, fnDate, fnMath, fnArray, fnMap, fnJson, fnTrycast)
+  /** Array set algebra — results sorted on both sides because Spark's
+    * array_union/intersect/except keep first-occurrence order while the
+    * DuckDB formulation composes filters (D4: pin the order).
+    */
+  val fnArraySetops: Q = Q(
+    "fn_array_setops",
+    """SELECT p_partkey,
+      |       list_sort(list_distinct(string_split(p_type, ' ') || ['PROMO', 'shiny'])) AS u,
+      |       list_sort(list_filter(list_distinct(string_split(p_type, ' ')),
+      |                 x -> list_contains(['ECONOMY', 'PROMO', 'STANDARD'], x))) AS i,
+      |       list_sort(list_filter(list_distinct(string_split(p_type, ' ')),
+      |                 x -> NOT list_contains(['ECONOMY', 'PROMO', 'STANDARD'], x))) AS e,
+      |       flatten([string_split(p_type, ' '), ['#']]) AS fl,
+      |       list_position(string_split(p_type, ' '), 'PROMO') AS pos_promo
+      |FROM part
+      |ORDER BY p_partkey NULLS FIRST
+      |LIMIT 100""".stripMargin
+  ) { (s, d) =>
+    val toks = split(col("p_type"), " ")
+    val ref = array(lit("ECONOMY"), lit("PROMO"), lit("STANDARD"))
+    T.part(s, d)
+      .select(
+        col("p_partkey"),
+        array_sort(array_union(toks, array(lit("PROMO"), lit("shiny")))).as("u"),
+        array_sort(array_intersect(toks, ref)).as("i"),
+        array_sort(array_except(toks, ref)).as("e"),
+        flatten(array(toks, array(lit("#")))).as("fl"),
+        array_position(toks, "PROMO").as("pos_promo"))
+      .orderBy(col("p_partkey").asc_nulls_first)
+      .limit(100)
+  }
+
+  val all: Seq[Q] = Seq(
+    fnString, fnDate, fnMath, fnArray, fnMap, fnJson, fnTrycast, fnArraySetops)
 }

@@ -182,7 +182,27 @@ object Reshape {
       .orderBy(col("doc_id").asc_nulls_first, col("long_token").asc_nulls_first)
   }
 
+  /** Ordinal-preserving explode. Oracle: unnest over an index-zipped
+    * struct list (DuckDB has no WITH ORDINALITY in 1.0).
+    */
+  val generatorPosexplode: Q = Q(
+    "generator_posexplode",
+    """SELECT x.p_partkey, u.s.p AS pos, u.s.v AS word
+      |FROM (SELECT p_partkey, string_split(p_type, ' ') AS xs
+      |      FROM part WHERE p_partkey <= 100) x,
+      |     unnest(list_transform(generate_series(1, len(x.xs)),
+      |                           i -> {'p': i - 1, 'v': x.xs[i]})) AS u(s)
+      |ORDER BY p_partkey NULLS FIRST, pos NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    T.part(s, d)
+      .filter(col("p_partkey") <= 100)
+      .select(col("p_partkey"),
+        posexplode(split(col("p_type"), " ")).as(Seq("pos", "word")))
+      .orderBy(col("p_partkey").asc_nulls_first, col("pos").asc_nulls_first)
+  }
+
   val all: Seq[Q] = Seq(
     explodeTokens, generatorSequence, pivotWide, unpivotLong,
-    subqueryScalar, subqueryCorrelated, cteReuse, explodeOuter)
+    subqueryScalar, subqueryCorrelated, cteReuse, explodeOuter,
+    generatorPosexplode)
 }

@@ -1,7 +1,15 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed event row for the stateful operators. */
+case class GEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                  event_type: String, value: Double)
+
+/** Running per-user state maintained by flatMapGroupsWithState. */
+case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
 
 /** Structured Streaming operators (SURVEY.md §2B B7–B9). Each transform
   * takes an unbounded DataFrame (readStream / MemoryStream) with an
@@ -50,4 +58,45 @@ object StreamOps {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** B9 (arbitrary state): per-user running count + value total kept in
+    * the state store across micro-batches via flatMapGroupsWithState —
+    * the custom-state surface for logic window aggregation can't
+    * express. Update mode: one refreshed row per user per batch.
+    */
+  def runningUserAggs(events: Dataset[GEvent]): Dataset[UserAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserAgg, UserAgg](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[GEvent], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(uid, 0L, 0.0))
+          val rows = batch.toSeq
+          val next = UserAgg(uid, prev.n_events + rows.size,
+            prev.total_value + rows.map(_.value).sum)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+
+  /** Stream-stream inner join with watermarks: each purchase matched to
+    * clicks by the same user within the preceding 30 minutes. Both
+    * sides watermarked so join state is evicted once the range can no
+    * longer match — unbounded-state joins don't survive at scale.
+    */
+  def clickToPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                          watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    p.join(c, expr(
+      """p_user = c_user AND
+         c_ts <= p_ts AND c_ts >= p_ts - interval 30 minutes"""))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+        col("p_ts"), col("c_ts"))
+  }
 }

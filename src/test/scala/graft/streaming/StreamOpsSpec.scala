@@ -104,6 +104,54 @@ class StreamOpsSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L))
   }
 
+  test("flatMapGroupsWithState keeps per-user totals across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[GEvent]
+    val q = StreamOps.runningUserAggs(mem.toDS())
+      .writeStream.format("memory").queryName("state")
+      .outputMode("update").start()
+    try {
+      mem.addData(GEvent(1, t("2024-01-01 00:00:00"), 1, "click", 2.0))
+      q.processAllAvailable()
+      mem.addData(
+        GEvent(2, t("2024-01-01 00:01:00"), 1, "view", 3.0),
+        GEvent(3, t("2024-01-01 00:02:00"), 2, "click", 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // update mode: the LAST row per user carries the accumulated state
+    val last = spark.table("state")
+      .groupBy("user_id").agg(max("n_events").as("n"), max("total_value").as("v"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(last.toSeq == Seq((1L, 2L, 5.0), (2L, 1L, 5.0)))
+  }
+
+  test("stream-stream join matches purchases to clicks within 30 minutes") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = StreamOps.clickToPurchaseJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        Ev(10, t("2024-01-01 01:00:00"), 1, "click", 1.0, "{}"),
+        Ev(11, t("2024-01-01 02:00:00"), 1, "click", 1.0, "{}"),
+        Ev(12, t("2024-01-01 01:05:00"), 2, "click", 1.0, "{}"))
+      purchases.addData(
+        Ev(20, t("2024-01-01 01:10:00"), 1, "purchase", 9.0, "{}"), // ← click 10
+        Ev(21, t("2024-01-01 03:00:00"), 1, "purchase", 9.0, "{}"), // no click in range
+        Ev(22, t("2024-01-01 01:20:00"), 2, "purchase", 9.0, "{}")) // ← click 12
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssjoin")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((20L, 10L), (22L, 12L)))
+  }
+
   test("sliding counts: each event lands in 4 windows") {
     import spark.implicits._
     val got = runStream(StreamOps.slidingCounts(_), Seq(rows.take(1)), "slide")
