@@ -119,6 +119,60 @@ object MiscOps {
       .orderBy(col("o_custkey").asc_nulls_first)
   }
 
+  /** Nested struct build + field access; the struct value itself is
+    * part of the compared result (parquet struct ↔ DuckDB STRUCT).
+    */
+  val fnStruct: Q = Q(
+    "fn_struct",
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |       {'flag': l_returnflag, 'qty': CAST(l_quantity AS DECIMAL(18,2))} AS line_info,
+      |       ({'flag': l_returnflag, 'qty': CAST(l_quantity AS DECIMAL(18,2))}).flag AS flag_again
+      |FROM lineitem
+      |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST,
+      |         l_partkey NULLS FIRST, l_suppkey NULLS FIRST
+      |LIMIT 100""".stripMargin
+  ) { (s, d) =>
+    val info = struct(
+      col("l_returnflag").as("flag"), T.dec2(col("l_quantity")).as("qty"))
+    T.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        info.as("line_info"),
+        info.getField("flag").as("flag_again"))
+      .orderBy(col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first,
+        col("l_partkey").asc_nulls_first, col("l_suppkey").asc_nulls_first)
+      .limit(100)
+  }
+
+  /** Epoch conversions pinned to µs integers (DuckDB's to_timestamp is
+    * TIMESTAMPTZ and epoch() is DOUBLE — both avoided, D6).
+    */
+  val fnEpoch: Q = Q(
+    "fn_epoch",
+    """SELECT o_orderkey,
+      |       epoch_us(o_orderdate) AS ts_us,
+      |       epoch_us(o_orderdate) // 1000000 AS ts_sec,
+      |       make_timestamp(epoch_us(o_orderdate)) AS ts_roundtrip
+      |FROM orders
+      |ORDER BY o_orderkey NULLS FIRST
+      |LIMIT 200""".stripMargin
+  ) { (s, d) =>
+    // o_orderdate arrives as TIMESTAMP_NTZ; unix_micros needs LTZ —
+    // identical instants under the pinned UTC session. The roundtrip
+    // goes back to NTZ so parquet stays naive (what DuckDB's
+    // make_timestamp yields).
+    val ltz = col("o_orderdate").cast("timestamp")
+    T.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        unix_micros(ltz).as("ts_us"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 1000000").as("ts_sec"),
+        timestamp_micros(unix_micros(ltz)).cast("timestamp_ntz").as("ts_roundtrip"))
+      .orderBy(col("o_orderkey").asc_nulls_first)
+      .limit(200)
+  }
+
   val all: Seq[Q] = Seq(
-    fnBitwise, fnHash, aggBool, aggMinmaxBy, setIntersectAll, setExceptAll)
+    fnBitwise, fnHash, aggBool, aggMinmaxBy, setIntersectAll, setExceptAll,
+    fnStruct, fnEpoch)
 }
