@@ -9,11 +9,17 @@ import org.apache.spark.sql.functions.{col, month, year}
   */
 object ParquetSink {
 
-  /** Write `df` partitioned by (year, month) of `tsCol`. */
+  /** Write `df` partitioned by (year, month) of `tsCol`, rows sorted by
+    * the timestamp within each file so parquet row-group min/max stats
+    * support time-range skipping WITHIN a partition too (partition
+    * pruning gets a query to the right month; row-group stats get it to
+    * the right days).
+    */
   def writePartitioned(df: DataFrame, tsCol: String, path: String,
                        mode: SaveMode = SaveMode.Overwrite): Unit =
     df.withColumn("part_year", year(col(tsCol)))
       .withColumn("part_month", month(col(tsCol)))
+      .sortWithinPartitions(col("part_year"), col("part_month"), col(tsCol))
       .write
       .partitionBy("part_year", "part_month")
       .mode(mode)

@@ -53,7 +53,8 @@ object NoOracle {
 
   /** B6: random-projection LSH near neighbors over embeddings. */
   val lshEmbeddingNear: Q = Q.noOracle("b6_lsh_embedding_near") { (s, d) =>
-    graft.ml.Lsh.embeddingNearPairs(s, T.embeddings(s, d), maxL2Distance = 12.0)
+    graft.ml.Lsh.embeddingNearPairs(s, T.embeddings(s, d),
+        maxL2Distance = 10.0, numHashTables = 2)
       .agg(count(lit(1)).as("n_near_pairs"))
   }
 
