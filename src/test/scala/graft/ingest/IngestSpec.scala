@@ -81,6 +81,47 @@ class IngestSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("full-refresh table class: each batch replaces contents via stage-and-swap") {
+    val root = Files.createTempDirectory("graft_fullref").toString
+    val conf = Ingest.Config(
+      uploadDir = s"$root/upload", lakeDir = s"$root/lake",
+      archiveDir = s"$root/archive", fullRefreshTables = Set("users"))
+    write(s"$root/upload/users/manifest.txt", "id,bigint\nname,text")
+    write(s"$root/upload/users/b1.csv", "id,name\n1,ann\n2,bob\n")
+    Ingest.run(spark, conf)
+    assert(Ingest.readLake(spark, conf, "users").count() == 2)
+    // second extract: complete replacement, not append
+    write(s"$root/upload/users/b2.csv", "id,name\n3,cho\n")
+    Ingest.run(spark, conf)
+    val lake = Ingest.readLake(spark, conf, "users")
+    assert(lake.count() == 1)
+    assert(lake.collect().head.getString(1) == "cho")
+    assert(!Files.exists(Paths.get(s"$root/lake/users__stage")))
+    assert(!Files.exists(Paths.get(s"$root/lake/users__old")))
+  }
+
+  test("a failing table quarantines to the error folder without aborting the tick") {
+    val root = Files.createTempDirectory("graft_err").toString
+    val conf = Ingest.Config(
+      uploadDir = s"$root/upload", lakeDir = s"$root/lake",
+      archiveDir = s"$root/archive", errorDir = s"$root/error",
+      rejectLimit = 0)
+    // table 'aaa' is entirely corrupt (exceeds rejectLimit=0);
+    // table 'bbb' is clean and must still load
+    write(s"$root/upload/aaa/manifest.txt", "id,bigint\nv,double precision")
+    write(s"$root/upload/aaa/bad.csv", "id,v\nnot,numbers\nat,all\n")
+    write(s"$root/upload/bbb/manifest.txt", "id,bigint\nv,double precision")
+    write(s"$root/upload/bbb/ok.csv", "id,v\n1,1.5\n")
+    val reports = Ingest.run(spark, conf)
+    val aaa = reports.find(_.table == "aaa").get
+    val bbb = reports.find(_.table == "bbb").get
+    assert(aaa.failed.isDefined && aaa.loaded == 0)
+    assert(Files.exists(Paths.get(s"$root/error/aaa/bad.csv")))
+    assert(!Files.exists(Paths.get(s"$root/upload/aaa/bad.csv")))
+    assert(bbb.failed.isEmpty && bbb.loaded == 1)
+    assert(Ingest.readLake(spark, conf, "bbb").count() == 1)
+  }
+
   test("Ingest.run: load, dedup, evolve add-only across batches, archive") {
     val root = Files.createTempDirectory("graft_ingest").toString
     val conf = Ingest.Config(
