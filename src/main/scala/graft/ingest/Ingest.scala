@@ -77,7 +77,10 @@ object Ingest {
 
   private def listCsv(dir: Path): Seq[String] =
     Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".csv"))
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".csv") || n.endsWith(".csv.gz")
+      }
       .map(_.toString).toSeq.sorted
 
   /** Lake reader: mergeSchema unions add-only evolved batches. */
@@ -90,7 +93,7 @@ object Ingest {
       new String(Files.readAllBytes(dir.resolve("manifest.txt")), "UTF-8"))
     val files = listCsv(dir)
 
-    val res = CsvSource.read(spark, manifest, s"$dir/*.csv")
+    val res = CsvSource.read(spark, manifest, s"$dir/*.csv*")
     val rejected = CsvSource.enforceRejectLimit(res, conf.rejectLimit)
 
     // Add-only evolution: conform this batch to live-schema ∪ manifest.

@@ -32,6 +32,16 @@ class IngestSpec extends SparkSpec {
     assert(CsvSource.enforceRejectLimit(r, 5) == 1)
   }
 
+  test("gzipped CSV batches load transparently (the reference's upload format)") {
+    val dir = Files.createTempDirectory("graft_gz").toString
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(Paths.get(s"$dir/batch.csv.gz")))
+    gz.write("id,v\n1,2.5\n2,7.25\n".getBytes("UTF-8")); gz.close()
+    val schema = Manifest.parse("id,bigint\nv,double precision")
+    val r = CsvSource.read(spark, schema, s"$dir/*.csv.gz")
+    assert(r.valid.count() == 2 && r.rejects.count() == 0)
+  }
+
   test("Manifest maps PostgreSQL-ish types, tolerates unknowns") {
     val st = Manifest.parse(
       """a,text
