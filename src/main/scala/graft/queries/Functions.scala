@@ -260,6 +260,37 @@ object Functions {
       .limit(100)
   }
 
+  /** Second string batch — pins the backreference dialect trap (Spark
+    * regexp_replace uses `$1`, DuckDB uses `\1`) plus split_part /
+    * translate / repeat / reverse.
+    */
+  val fnString2: Q = Q(
+    "fn_string2",
+    """SELECT p_partkey,
+      |       regexp_replace(p_brand, '([0-9]+)', '<\1>', 'g') AS brand_marked,
+      |       split_part(p_type, ' ', 1) AS type_first,
+      |       split_part(p_type, ' ', -1) AS type_last,
+      |       translate(p_brand, '#', '-') AS brand_dash,
+      |       repeat(p_brand, 2) AS brand_twice,
+      |       reverse(p_brand) AS brand_rev
+      |FROM part
+      |ORDER BY p_partkey NULLS FIRST
+      |LIMIT 100""".stripMargin
+  ) { (s, d) =>
+    T.part(s, d)
+      .select(
+        col("p_partkey"),
+        regexp_replace(col("p_brand"), "([0-9]+)", "<$1>").as("brand_marked"),
+        expr("split_part(p_type, ' ', 1)").as("type_first"),
+        expr("split_part(p_type, ' ', -1)").as("type_last"),
+        translate(col("p_brand"), "#", "-").as("brand_dash"),
+        repeat(col("p_brand"), 2).as("brand_twice"),
+        reverse(col("p_brand")).as("brand_rev"))
+      .orderBy(col("p_partkey").asc_nulls_first)
+      .limit(100)
+  }
+
   val all: Seq[Q] = Seq(
-    fnString, fnDate, fnMath, fnArray, fnMap, fnJson, fnTrycast, fnArraySetops)
+    fnString, fnDate, fnMath, fnArray, fnMap, fnJson, fnTrycast,
+    fnArraySetops, fnString2)
 }

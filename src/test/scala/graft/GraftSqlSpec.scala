@@ -25,6 +25,17 @@ class GraftSqlSpec extends SparkSpec {
     r.foreach(row => assert(row.getDouble(1) == row.getDouble(2)))
   }
 
+  test("native vector expressions are null-safe") {
+    Graft.registerTables(spark, sf())
+    val r = spark.sql(
+      """SELECT graft_vec_dot(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT))) AS d,
+        |       graft_vec_ssq(CAST(NULL AS ARRAY<FLOAT>)) AS s,
+        |       graft_vec_dot(array(CAST(1.5 AS FLOAT)), array(CAST(2.0 AS FLOAT), CAST(9.0 AS FLOAT))) AS uneven""".stripMargin)
+      .collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    assert(r.getDouble(2) == 3.0) // min-length semantics on uneven input
+  }
+
   test("events view exposes normalized microsecond timestamps") {
     Graft.registerTables(spark, sf())
     val t = spark.sql("SELECT typeof(ts) FROM events LIMIT 1")
