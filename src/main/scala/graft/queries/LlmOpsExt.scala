@@ -266,7 +266,29 @@ object LlmOpsExt {
       .limit(200)
   }
 
+  /** Edit-distance fuzzy matching (bounded pair set) — the classic
+    * entity-resolution primitive alongside the set-based near-dup ops.
+    */
+  val dedupFuzzyLevenshtein: Q = Q(
+    "dedup_fuzzy_levenshtein",
+    """SELECT a.p_partkey AS a, b.p_partkey AS b,
+      |       levenshtein(a.p_name, b.p_name) AS dist
+      |FROM part a JOIN part b
+      |  ON a.p_partkey < b.p_partkey AND a.p_partkey <= 60 AND b.p_partkey <= 60
+      |WHERE levenshtein(a.p_name, b.p_name) <= 6
+      |ORDER BY a NULLS FIRST, b NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val p = T.part(s, d).filter(col("p_partkey") <= 60)
+    val a = p.select(col("p_partkey").as("a"), col("p_name").as("a_name"))
+    val b = p.select(col("p_partkey").as("b"), col("p_name").as("b_name"))
+    a.join(b, col("a") < col("b"))
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("dist") <= 6)
+      .select(col("a"), col("b"), col("dist"))
+      .orderBy(col("a").asc_nulls_first, col("b").asc_nulls_first)
+  }
+
   val all: Seq[Q] = Seq(
     dedupNgramJaccard, dedupEmbedding, textLangid, textQuality,
-    textTokens, textFingerprint)
+    textTokens, textFingerprint, dedupFuzzyLevenshtein)
 }
