@@ -6,9 +6,15 @@ import graft.Q
   * no-oracle §2B rows that still run as queries).
   */
 object Registry {
-  def all: Seq[Q] =
-    Scans.all ++ Joins.all ++ Aggregates.all ++ WindowsQ.all ++
-      SortSetOps.all ++ Functions.all ++ Reshape.all ++ LlmOps.all ++
-      StreamingBatch.all ++ LlmOpsExt.all ++ LlmOpsAnn.all ++ AggregatesExt.all ++
-      MiscOps.all ++ NoOracle.all
+  def all: Seq[Q] = {
+    val qs =
+      Scans.all ++ Joins.all ++ Aggregates.all ++ WindowsQ.all ++
+        SortSetOps.all ++ Functions.all ++ Reshape.all ++ LlmOps.all ++
+        StreamingBatch.all ++ LlmOpsExt.all ++ LlmOpsAnn.all ++ AggregatesExt.all ++
+        MiscOps.all ++ NoOracle.all
+    // a duplicate key would silently shadow a query in SparkEntry's Map
+    val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    qs
+  }
 }
