@@ -119,14 +119,20 @@ object Functions {
 
   /** Array surface over the 64-dim embedding vectors. Both engines fold
     * the list left-to-right in double, so sums are bit-identical (§7.3).
+    * Array-valued FINALS are serialized to CSV (array_join ↔
+    * array_to_string): a top-level LIST crashes the driver's pandas
+    * hasher (VERDICT r1 §What's-wrong 2); the array semantics stay
+    * exercised upstream. head4 serializes in integer milli-units so no
+    * double→string formatting dialect enters the compare.
     */
   val fnArray: Q = Q(
     "fn_array",
     """SELECT vec_id,
       |       len(embedding) AS dim,
-      |       list_transform(list_slice(embedding, 1, 4), x -> round(CAST(x AS DOUBLE), 3) + 0.0) AS head4,
+      |       array_to_string(list_transform(list_slice(embedding, 1, 4),
+      |                       x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT) AS VARCHAR)), ',') AS head4_milli,
       |       round(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b), 6) AS ssq,
-      |       list_sort(list_distinct([label, label, 1])) AS label_set
+      |       array_to_string(list_sort(list_distinct([label, label, 1])), ',') AS label_set
       |FROM embeddings
       |WHERE vec_id < 20
       |ORDER BY vec_id NULLS FIRST""".stripMargin
@@ -136,15 +142,14 @@ object Functions {
       .select(
         col("vec_id"),
         size(col("embedding")).as("dim"),
-        // + 0.0 canonicalizes IEEE -0.0 (DuckDB's round keeps the sign,
-        // Spark's drops it)
-        expr("transform(slice(embedding, 1, 4), x -> round(CAST(x AS DOUBLE), 3) + 0.0)")
-          .as("head4"),
+        expr("array_join(transform(slice(embedding, 1, 4), " +
+          "x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT) AS STRING)), ',')")
+          .as("head4_milli"),
         round(expr(
           "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (a, x) -> a + x)"),
           6).as("ssq"),
-        array_sort(array_distinct(array(col("label"), col("label"), lit(1))))
-          .as("label_set"))
+        array_join(array_sort(array_distinct(array(col("label"), col("label"), lit(1))))
+          .cast("array<string>"), ",").as("label_set"))
       .orderBy(col("vec_id").asc_nulls_first)
   }
 
@@ -234,14 +239,19 @@ object Functions {
     */
   val fnArraySetops: Q = Q(
     "fn_array_setops",
+    // Finals serialized CSV-style (top-level LIST crashes the driver's
+    // hasher); list_position: DuckDB yields NULL on a miss where Spark
+    // yields 0 → coalesce to 0 on the oracle side. Likewise DuckDB's
+    // array_to_string of an EMPTY list is NULL where Spark's array_join
+    // is '' → coalesce to ''.
     """SELECT p_partkey,
-      |       list_sort(list_distinct(string_split(p_type, ' ') || ['PROMO', 'shiny'])) AS u,
-      |       list_sort(list_filter(list_distinct(string_split(p_type, ' ')),
-      |                 x -> list_contains(['ECONOMY', 'PROMO', 'STANDARD'], x))) AS i,
-      |       list_sort(list_filter(list_distinct(string_split(p_type, ' ')),
-      |                 x -> NOT list_contains(['ECONOMY', 'PROMO', 'STANDARD'], x))) AS e,
-      |       flatten([string_split(p_type, ' '), ['#']]) AS fl,
-      |       list_position(string_split(p_type, ' '), 'PROMO') AS pos_promo
+      |       coalesce(array_to_string(list_sort(list_distinct(string_split(p_type, ' ') || ['PROMO', 'shiny'])), ','), '') AS u,
+      |       coalesce(array_to_string(list_sort(list_filter(list_distinct(string_split(p_type, ' ')),
+      |                 x -> list_contains(['ECONOMY', 'PROMO', 'STANDARD'], x))), ','), '') AS i,
+      |       coalesce(array_to_string(list_sort(list_filter(list_distinct(string_split(p_type, ' ')),
+      |                 x -> NOT list_contains(['ECONOMY', 'PROMO', 'STANDARD'], x))), ','), '') AS e,
+      |       coalesce(array_to_string(flatten([string_split(p_type, ' '), ['#']]), ','), '') AS fl,
+      |       CAST(coalesce(list_position(string_split(p_type, ' '), 'PROMO'), 0) AS BIGINT) AS pos_promo
       |FROM part
       |ORDER BY p_partkey NULLS FIRST
       |LIMIT 100""".stripMargin
@@ -251,11 +261,11 @@ object Functions {
     T.part(s, d)
       .select(
         col("p_partkey"),
-        array_sort(array_union(toks, array(lit("PROMO"), lit("shiny")))).as("u"),
-        array_sort(array_intersect(toks, ref)).as("i"),
-        array_sort(array_except(toks, ref)).as("e"),
-        flatten(array(toks, array(lit("#")))).as("fl"),
-        array_position(toks, "PROMO").as("pos_promo"))
+        array_join(array_sort(array_union(toks, array(lit("PROMO"), lit("shiny")))), ",").as("u"),
+        array_join(array_sort(array_intersect(toks, ref)), ",").as("i"),
+        array_join(array_sort(array_except(toks, ref)), ",").as("e"),
+        array_join(flatten(array(toks, array(lit("#")))), ",").as("fl"),
+        array_position(toks, "PROMO").cast("long").as("pos_promo"))
       .orderBy(col("p_partkey").asc_nulls_first)
       .limit(100)
   }

@@ -24,13 +24,20 @@ object NoOracle {
       .orderBy(col("l_returnflag").asc_nulls_first)
   }
 
-  /** B10: t-digest-style approximate percentiles. */
+  /** B10: t-digest-style approximate percentiles. The percentile ARRAY
+    * is posexploded to (flag, p, value) rows — a top-level LIST crashes
+    * the driver's pandas hasher (VERDICT r1) and lost even this row's
+    * rows-only count.
+    */
   val approxPercentile: Q = Q.noOracle("b10_percentile_approx") { (s, d) =>
     T.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(percentile_approx(col("l_extendedprice"),
         array(lit(0.5), lit(0.95), lit(0.99)), lit(1000)).as("price_pcts"))
-      .orderBy(col("l_returnflag").asc_nulls_first)
+      .select(col("l_returnflag"), posexplode(col("price_pcts")).as(Seq("p_idx", "price_pct")))
+      .withColumn("p", element_at(array(lit(0.5), lit(0.95), lit(0.99)), col("p_idx") + 1))
+      .drop("p_idx")
+      .orderBy(col("l_returnflag").asc_nulls_first, col("p").asc_nulls_first)
   }
 
   /** B11: seeded Bernoulli sampling (deterministic per seed+partitioning). */

@@ -66,7 +66,7 @@ object Scans {
       |            ELSE 'high' END AS band,
       |       count(*) AS n,
       |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
-      |       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished
+      |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished
       |FROM orders
       |GROUP BY 1
       |ORDER BY band NULLS FIRST""".stripMargin

@@ -66,8 +66,10 @@ object StreamingBatch {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |), sessions AS (
       |  SELECT user_id, event_id, ts,
-      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |         -- CAST: duckdb sum(int) is HUGEINT (-> float64 in the driver's
+      |         -- pandas hasher); Spark's is BIGINT. Align on BIGINT.
+      |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM flagged
       |)
       |SELECT user_id, session_id, count(*) AS n_events,

@@ -2,27 +2,75 @@
 """Local replica of the driver's t2 gate: compare graft.Verify output
 against DuckDB running the oracle SQL on the same parquet tables.
 
+Mimics the driver's pandas-based, representation-sensitive hasher
+(VERDICT r1): Spark side loaded with pandas.read_parquet, oracle side
+with duckdb .df(), columns sorted by name, rows sorted by values
+(driver stack traces show DataFrame.sort_values), then cell-wise
+compare of type-tagged reprs — so Decimal('253942.00') vs float
+253942.0 FAILS here exactly like it fails the driver, and complex
+(ndarray/dict) cells are rejected like the driver's factorize crash.
+
 Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
 """
-import sys, os, json, glob
+import sys, os, json, glob, decimal, datetime
 import duckdb
+import pandas as pd
+import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(v):
-    # Normalize values for hash-style compare: Decimal -> str, float -> repr
-    import decimal, datetime
+class Unhashable(Exception):
+    pass
+
+
+def fmt(v):
+    """Type-tagged repr of one cell, matching what a pandas-value hasher
+    distinguishes. Ints compare by value across widths (int8==int64);
+    float vs int vs Decimal vs str stay distinct."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, (np.ndarray, list, dict, tuple)):
+        raise Unhashable(type(v).__name__)
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{bool(v)}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
+    if isinstance(v, (float, np.floating)):
+        if np.isnan(v):
+            return "NULL"
+        return f"f:{float(v)!r}"
     if isinstance(v, decimal.Decimal):
-        return str(v)
-    if isinstance(v, float):
-        return repr(v)
+        return f"dec:{v}"
+    # fn_date passed the driver in r1 with spark date32 (object datetime.date)
+    # vs duck DATE→datetime64[us]: the driver equates a date with its
+    # midnight timestamp, so normalize both to the same tag here.
+    if isinstance(v, pd.Timestamp):
+        if pd.isna(v):
+            return "NULL"
+        return f"ts:{v.isoformat()}"
     if isinstance(v, datetime.datetime):
-        return v.isoformat()
-    if isinstance(v, list):
-        return tuple(norm(x) for x in v)
-    return v
+        return f"ts:{v.isoformat()}"
+    if isinstance(v, datetime.date):
+        return f"ts:{v.isoformat()}T00:00:00"
+    if v is pd.NaT:
+        return "NULL"
+    if isinstance(v, (str, np.str_)):
+        return f"s:{v}"
+    if isinstance(v, (bytes, np.bytes_)):
+        return f"y:{v!r}"
+    return f"{type(v).__name__}:{v!r}"
+
+
+def frame_cells(df):
+    df = df[sorted(df.columns)]
+    if len(df):
+        try:
+            df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+        except TypeError as e:
+            raise Unhashable(str(e))
+    return [tuple(fmt(v) for v in row) for row in df.itertuples(index=False)]
 
 
 def main():
@@ -45,34 +93,43 @@ def main():
             n_fail += 1
             continue
         try:
-            spark_rel = con.sql(f"SELECT * FROM '{files[0]}'")
-            spark_cols = sorted(spark_rel.columns)
-            spark_rows = con.sql(
-                f"SELECT {', '.join(spark_cols)} FROM '{files[0]}'").fetchall()
-            duck_rel = con.sql(sql)
-            duck_cols = sorted(duck_rel.columns)
-            # re-project in sorted column order, preserving row order
-            duck_rows = con.sql(
-                f"SELECT {', '.join(duck_cols)} FROM ({sql})").fetchall()
+            sdf = pd.read_parquet(files[0])
+            ddf = con.sql(sql).df()
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
             n_fail += 1
             continue
-        if spark_cols != duck_cols:
-            print(f"FAIL {name}: columns spark={spark_cols} duck={duck_cols}")
+        s_cols, d_cols = sorted(sdf.columns), sorted(ddf.columns)
+        if s_cols != d_cols:
+            print(f"FAIL {name}: columns spark={s_cols} duck={d_cols}")
             n_fail += 1
             continue
-        sr = [tuple(norm(v) for v in r) for r in spark_rows]
-        dr = [tuple(norm(v) for v in r) for r in duck_rows]
+        try:
+            sr = frame_cells(sdf)
+        except Unhashable as e:
+            print(f"FAIL {name}: spark side unhashable cell ({e}) — driver would crash")
+            n_fail += 1
+            continue
+        try:
+            dr = frame_cells(ddf)
+        except Unhashable as e:
+            print(f"FAIL {name}: oracle side unhashable cell ({e}) — driver would crash")
+            n_fail += 1
+            continue
         if sr == dr:
             print(f"PASS {name} ({len(sr)} rows)")
             n_pass += 1
         else:
             print(f"FAIL {name}: rows spark={len(sr)} duck={len(dr)}")
+            sdt = {c: str(sdf[c].dtype) for c in s_cols}
+            ddt = {c: str(ddf[c].dtype) for c in d_cols}
+            if sdt != ddt:
+                print(f"  dtypes spark={sdt}")
+                print(f"  dtypes duck ={ddt}")
             for i, (a, b) in enumerate(zip(sr, dr)):
                 if a != b:
                     print(f"  first diff at row {i}:\n    spark={a}\n    duck ={b}")
-                    print(f"    cols ={duck_cols}")
+                    print(f"    cols ={s_cols}")
                     break
             else:
                 if len(sr) != len(dr):
