@@ -200,9 +200,11 @@ object Functions {
       |GROUP BY 1
       |ORDER BY k_bucket NULLS FIRST""".stripMargin
   ) { (s, d) =>
+    // parse the JSON ONCE per row; the bucket derives from the parsed
+    // column (r1 bench: the doubled get_json_object was 5.4 s at sf0.1)
     T.events(s, d)
-      .select((get_json_object(col("props"), "$.k").cast("int") % 10).as("k_bucket"),
-        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .select((col("k") % 10).as("k_bucket"), col("k"))
       .groupBy(col("k_bucket"))
       .agg(count(lit(1)).as("n"), countDistinct(col("k")).as("n_k"))
       .orderBy(col("k_bucket").asc_nulls_first)

@@ -104,14 +104,20 @@ object Joins {
       .orderBy(col("c_custkey").asc_nulls_first)
   }
 
+  /** Anti-joins against the URGENT subset so the result is non-empty at
+    * every sf (every customer has SOME order in this data — the plain
+    * no-orders anti-join proved 0==0, a vacuous check; VERDICT r1 #7).
+    */
   val joinAnti: Q = Q(
     "join_anti",
     """SELECT c_custkey, c_name FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
       |ORDER BY c_custkey NULLS FIRST""".stripMargin
   ) { (s, d) =>
     T.customer(s, d)
-      .join(T.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(T.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey").asc_nulls_first)
   }

@@ -76,41 +76,26 @@ object LlmOpsExt {
       |GROUP BY 1, 2
       |ORDER BY label_a NULLS FIRST, label_b NULLS FIRST""".stripMargin
   ) { (s, d) =>
-    // An all-pairs numeric kernel is the one place Catalyst expression
-    // evaluation is the wrong tool: per-pair UDF/HOF overhead is ~µs
-    // while the math is ~100 ns. Broadcast the (small) right side and
-    // run primitive loops per partition — same left-to-right double
-    // fold as the oracle's list_reduce, so results stay bit-identical.
-    // At real scale the broadcastable side is the LSH/IVF-pruned
-    // candidate set, never the full table (B6 / ann_ivf_topk).
-    import s.implicits._
-    val e = T.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"), col("label"))
-      .as[(Long, Array[Float], Int)]
-    def norm(v: Array[Float]): Double = {
-      var ss = 0.0; var i = 0
-      while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
-      math.sqrt(ss)
-    }
-    val side = e.collect().sortBy(_._1)
-    val bcast = s.sparkContext.broadcast(side.map { case (id, emb, lbl) =>
-      (id, emb, lbl, norm(emb))
-    })
-    val pairs = e.repartition(s.sparkContext.defaultParallelism)
-      .mapPartitions { it =>
-        val bs = bcast.value
-        it.flatMap { case (aId, aEmb, aLbl) =>
-          val aNorm = norm(aEmb)
-          bs.iterator.filter(_._1 > aId).flatMap { case (_, bEmb, bLbl, bNorm) =>
-            var dot = 0.0; var i = 0
-            val n = math.min(aEmb.length, bEmb.length)
-            while (i < n) { dot += aEmb(i).toDouble * bEmb(i).toDouble; i += 1 }
-            if (dot / (aNorm * bNorm) >= 0.4) Some((aLbl, bLbl)) else None
-          }
-        }
-      }
-      .toDF("label_a", "label_b")
-    pairs
+    // Exact cosine-threshold pairs as a broadcast() join over the native
+    // codegen kernels (graft_vec_dot/graft_vec_ssq — same left-to-right
+    // double fold as the oracle's list_reduce, so results stay
+    // bit-identical; proven oracle-exact by sim_cosine_topk). No
+    // driver-side collect: Spark's broadcast exchange ships the right
+    // side, and norms are precomputed per ROW (O(N·d)), not per pair.
+    // Exact all-pairs is inherently quadratic — this row is the bounded
+    // exact baseline; the 100 TB path is the bucketed twin
+    // (b6_lsh_embedding_near / ann_ivf_topk).
+    import graft.functions.VectorOps
+    val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"), col("label"))
+    def withNorm(p: String) = e.select(
+      col("vec_id").as(s"${p}_id"),
+      col("embedding").as(s"${p}_emb"),
+      col("label").as(s"label_$p"),
+      sqrt(VectorOps.ssq(col("embedding"))).as(s"${p}_norm"))
+    val cos = VectorOps.dot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm"))
+    withNorm("a")
+      .join(broadcast(withNorm("b")),
+        col("a_id") < col("b_id") && cos >= 0.4)
       .groupBy(col("label_a"), col("label_b"))
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("label_a").asc_nulls_first, col("label_b").asc_nulls_first)
