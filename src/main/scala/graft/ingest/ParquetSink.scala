@@ -28,18 +28,53 @@ object ParquetSink {
   def readLake(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Partition columns of a lake directory, detected from its Hive-style
+    * `name=value` layout (the same discovery Spark itself performs).
+    * Empty for an unpartitioned lake.
+    */
+  def partitionColumns(path: String): Seq[String] = {
+    import java.nio.file.{Files, Paths}
+    @annotation.tailrec
+    def loop(dir: java.nio.file.Path, acc: Vector[String]): Vector[String] = {
+      val sub = Files.list(dir).iterator()
+      var next: Option[(java.nio.file.Path, String)] = None
+      while (next.isEmpty && sub.hasNext) {
+        val p = sub.next()
+        val n = p.getFileName.toString
+        if (Files.isDirectory(p) && n.contains("="))
+          next = Some((p, n.substring(0, n.indexOf('='))))
+      }
+      next match {
+        case Some((p, colName)) => loop(p, acc :+ colName)
+        case None               => acc
+      }
+    }
+    loop(Paths.get(path), Vector.empty)
+  }
+
   /** Compact a lake directory in place: rewrite to ~`targetPartitions`
-    * files (atomically via a sibling temp dir + rename). Streaming /
-    * per-batch appends accumulate small files; at 100 TB the small-file
-    * problem costs more than the data — scan tasks, NameNode pressure,
-    * footer reads all scale with file count, not bytes.
+    * files per write, PRESERVING the lake's partition layout (a flat
+    * rewrite of a year/month lake would silently destroy partition
+    * pruning and break later partitioned appends into the same path).
+    * Streaming / per-batch appends accumulate small files; at 100 TB the
+    * small-file problem costs more than the data — scan tasks, NameNode
+    * pressure, footer reads all scale with file count, not bytes.
+    *
+    * The swap is two renames (old→bak, tmp→dst): each rename is atomic
+    * but there is a brief window with no directory at `path`; readers
+    * racing a compaction should retry, or compaction should run in a
+    * maintenance window.
     */
   def compact(spark: SparkSession, path: String, targetPartitions: Int): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    val partCols = partitionColumns(path)
     val tmp = path.stripSuffix("/") + "__compact_tmp"
-    spark.read.parquet(path)
-      .repartition(targetPartitions)
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val df = spark.read.parquet(path)
+    val writer =
+      if (partCols.isEmpty) df.repartition(targetPartitions).write
+      else df.repartition(targetPartitions, partCols.map(col): _*)
+        .write.partitionBy(partCols: _*)
+    writer.mode(SaveMode.Overwrite).parquet(tmp)
     val dst = Paths.get(path)
     val bak = Paths.get(path.stripSuffix("/") + "__compact_old")
     Files.move(dst, bak, StandardCopyOption.ATOMIC_MOVE)

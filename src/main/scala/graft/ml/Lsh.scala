@@ -53,7 +53,13 @@ object Lsh {
       .setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numHashTables).setSeed(42L)
     val model = mh.fit(vecs)
-    model.approxSimilarityJoin(vecs, vecs, maxJaccardDistance, "dist")
+    // Hash ONCE and cache: approxSimilarityJoin skips its own transform
+    // when the hash column is present, and without the cache each side
+    // of the self-join re-derives shingles+TF+minhash from the scan
+    // (r1 bench: 9.4 s → the slowest declared row). Cached storage is
+    // one sparse row per doc — bounded by the corpus, not by pairs.
+    val hashed = model.transform(vecs).cache()
+    model.approxSimilarityJoin(hashed, hashed, maxJaccardDistance, "dist")
       .select(
         col("datasetA.doc_id").as("a"),
         col("datasetB.doc_id").as("b"),
@@ -76,7 +82,8 @@ object Lsh {
       .setInputCol("features").setOutputCol("hashes")
       .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(42L)
     val model = brp.fit(vecs)
-    model.approxSimilarityJoin(vecs, vecs, maxL2Distance, "dist")
+    val hashed = model.transform(vecs).cache() // see textNearDupPairs
+    model.approxSimilarityJoin(hashed, hashed, maxL2Distance, "dist")
       .select(
         col("datasetA.vec_id").as("a"),
         col("datasetB.vec_id").as("b"),

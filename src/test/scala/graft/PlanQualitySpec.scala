@@ -14,6 +14,7 @@ class PlanQualitySpec extends SparkSpec {
     "dedup_simhash",       // fingerprint all-pairs histogram
     "text_langid",         // 5-row broadcast profile cross
     "ann_ivf_topk",        // 16-row centroid assignment cross
+    "ann_ivf_nprobe",      // √n-row centroid assignment cross
     "subquery_scalar",     // scalar subquery joins back as a 1-row cross
     "text_tfidf",          // N-docs scalar joined as 1-row cross
     "dedup_fuzzy_levenshtein", // bounded (≤60-key) all-pairs edit distance
