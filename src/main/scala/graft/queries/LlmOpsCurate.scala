@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables => T}
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between raw ingest and training: deterministic train/val/test
+  * splitting, stratified sampling, context-window chunking, and PII-style
+  * redaction. All are hash- or window-deterministic (D4) and fully
+  * distributed: the split and sample need one shuffle each, chunking is
+  * a generator (no shuffle), redaction is a pure projection.
+  */
+object LlmOpsCurate {
+
+  /** Deterministic 80/10/10 train/val/test split by md5 bucket of the
+    * stable doc key — the standard trick so the assignment is reproducible
+    * across runs/engines and new docs don't reshuffle old ones. At 100 TB
+    * this is a map-only projection + one partial-aggregated count.
+    */
+  val dataSplitHash: Q = Q(
+    "data_split_hash",
+    """SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+      |FROM (
+      |  SELECT CASE WHEN bucket < 80 THEN 'train'
+      |              WHEN bucket < 90 THEN 'val'
+      |              ELSE 'test' END AS split, n_chars
+      |  FROM (SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket,
+      |               n_chars
+      |        FROM documents)
+      |)
+      |GROUP BY split
+      |ORDER BY split NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val bucket = expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100")
+    T.documents(s, d)
+      .select(
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"),
+        col("n_chars"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("n_chars"))
+      .orderBy(col("split").asc_nulls_first)
+  }
+
+  /** Stratified sampling: EXACTLY ⌈10%⌉ of every language stratum,
+    * chosen by md5 rank so the sample is deterministic and
+    * engine-independent (a seeded .sample() is neither). The window
+    * ranks within each stratum — one shuffle on the stratum key; skewed
+    * strata stay balanced because the fraction is per-stratum.
+    */
+  val sampleStratified: Q = Q(
+    "sample_stratified",
+    """WITH ranked AS (
+      |  SELECT lang, n_chars,
+      |         row_number() OVER (PARTITION BY lang
+      |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+      |         count(*) OVER (PARTITION BY lang) AS n_lang
+      |  FROM documents
+      |)
+      |SELECT lang, count(*) AS n_sampled, CAST(min(n_lang) AS BIGINT) AS n_stratum,
+      |       CAST(sum(n_chars) AS BIGINT) AS chars_sampled
+      |FROM ranked
+      |WHERE rn <= CAST(ceil(0.1 * n_lang) AS BIGINT)
+      |GROUP BY lang
+      |ORDER BY lang NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    val wAll = Window.partitionBy(col("lang"))
+    T.documents(s, d)
+      .select(col("lang"), col("n_chars"), col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_lang", count(lit(1)).over(wAll))
+      .filter(col("rn") <= ceil(lit(0.1) * col("n_lang")).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"),
+        min(col("n_lang")).cast("long").as("n_stratum"),
+        sum(col("n_chars")).cast("long").as("chars_sampled"))
+      .orderBy(col("lang").asc_nulls_first)
+  }
+
+  /** Context-window chunking: overlapping 32-token windows with stride
+    * 24 (8-token overlap), the shape that feeds fixed-window training.
+    * Pure generator over each doc — no shuffle; chunk starts at
+    * i*stride+1 for i in 0..(len-1) div stride, so every token is
+    * covered and the tail chunk may be short.
+    */
+  val textChunk: Q = Q(
+    "text_chunk",
+    """WITH tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 50
+      |)
+      |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+      |       array_to_string(list_slice(t, i*24 + 1, i*24 + 32), ' ') AS chunk,
+      |       CAST(len(list_slice(t, i*24 + 1, i*24 + 32)) AS BIGINT) AS n_tokens
+      |FROM tk, unnest(generate_series(0, (len(t) - 1) // 24)) AS u(i)
+      |ORDER BY doc_id NULLS FIRST, chunk_id NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    T.documents(s, d)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), expr("(size(t) - 1) div 24"))).as("i"))
+      .select(
+        col("doc_id"),
+        col("i").cast("long").as("chunk_id"),
+        array_join(slice(col("t"), col("i") * 24 + 1, lit(32)), " ").as("chunk"),
+        size(slice(col("t"), col("i") * 24 + 1, lit(32))).cast("long").as("n_tokens"))
+      .orderBy(col("doc_id").asc_nulls_first, col("chunk_id").asc_nulls_first)
+  }
+
+  /** PII-style redaction: digit-mask the identifying name keeping the
+    * last 3 chars for human disambiguation, plus an md5 pseudonym that
+    * stays joinable across tables without exposing the value. Pure
+    * projection — map-only at any scale. (RE2-safe pattern: no
+    * lookaround, so the same regex runs on both engines.)
+    */
+  val textRedact: Q = Q(
+    "text_redact",
+    """SELECT c_custkey,
+      |       concat(regexp_replace(substring(c_name, 1, length(c_name) - 3), '[0-9]', '*', 'g'),
+      |              substring(c_name, length(c_name) - 2, 3)) AS name_masked,
+      |       md5(c_name) AS name_pseudonym
+      |FROM customer
+      |ORDER BY c_custkey NULLS FIRST
+      |LIMIT 200""".stripMargin
+  ) { (s, d) =>
+    T.customer(s, d)
+      .select(
+        col("c_custkey"),
+        concat(
+          regexp_replace(expr("substring(c_name, 1, length(c_name) - 3)"), "[0-9]", "*"),
+          expr("substring(c_name, length(c_name) - 2, 3)")).as("name_masked"),
+        md5(col("c_name")).as("name_pseudonym"))
+      .orderBy(col("c_custkey").asc_nulls_first)
+      .limit(200)
+  }
+
+  val all: Seq[Q] = Seq(dataSplitHash, sampleStratified, textChunk, textRedact)
+}

@@ -41,6 +41,29 @@ object Reshape {
         col("l_linenumber").asc_nulls_first, col("i").asc_nulls_first)
   }
 
+  /** inline() — the array-of-structs generator (VERDICT r1 noted its
+    * absence): unpivots each order into (k, v) attribute rows in one
+    * generator node. Oracle: DuckDB's unnest(…, recursive := true)
+    * flattens the struct fields into columns the same way.
+    */
+  val generatorInline: Q = Q(
+    "generator_inline",
+    """SELECT * FROM (
+      |  SELECT o_orderkey, unnest([{'k': 'prio', 'v': o_orderpriority},
+      |                             {'k': 'status', 'v': o_orderstatus}], recursive := true)
+      |  FROM orders
+      |  WHERE o_orderkey <= 100
+      |)
+      |ORDER BY o_orderkey NULLS FIRST, k NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    T.orders(s, d)
+      .filter(col("o_orderkey") <= 100)
+      .select(col("o_orderkey"), inline(array(
+        struct(lit("prio").as("k"), col("o_orderpriority").as("v")),
+        struct(lit("status").as("k"), col("o_orderstatus").as("v")))))
+      .orderBy(col("o_orderkey").asc_nulls_first, col("k").asc_nulls_first)
+  }
+
   /** Wide report matrix: rows = user-id bucket, columns = the five known
     * event types (pinned list per D4), values = counts. The oracle uses
     * conditional aggregation — same semantics, no PIVOT column-order
@@ -202,7 +225,7 @@ object Reshape {
   }
 
   val all: Seq[Q] = Seq(
-    explodeTokens, generatorSequence, pivotWide, unpivotLong,
+    explodeTokens, generatorSequence, generatorInline, pivotWide, unpivotLong,
     subqueryScalar, subqueryCorrelated, cteReuse, explodeOuter,
     generatorPosexplode)
 }
