@@ -136,10 +136,13 @@ object LlmOpsExt {
   ) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val docTg = T.documents(s, d)
+      // lower(text) ONCE per row as its own column — inside the lambda it
+      // would re-lowercase (copy) the whole doc per trigram, O(len²)/doc
+      .select(col("doc_id"), col("lang"), lower(col("text")).as("lt"))
       .select(col("doc_id"), col("lang"),
         array_distinct(expr(
-          """transform(sequence(1, greatest(length(lower(text)) - 2, 0)),
-             i -> substring(lower(text), i, 3))""")).as("tgs"))
+          """transform(sequence(1, greatest(length(lt) - 2, 0)),
+             i -> substring(lt, i, 3))""")).as("tgs"))
       // feeds both the profile build and the prediction branch; cache so
       // the per-char substring explode-equivalent runs once
       .cache()
