@@ -21,11 +21,15 @@ object Lsh {
   def textNearDupPairs(spark: SparkSession, docs: DataFrame,
                        maxJaccardDistance: Double, numHashTables: Int = 8,
                        shingleLen: Int = 3, maxDfFraction: Double = 1.0): DataFrame = {
-    val raw = docs.select(col("doc_id"),
-      expr(
-        s"""array_distinct(transform(sequence(1, greatest(size(split(lower(text), ' ')) - ${shingleLen - 1}, 0)),
-            i -> concat_ws(' ', slice(split(lower(text), ' '), i, $shingleLen))))""")
-        .as("shingles"))
+    // tokenize ONCE per row — a split inside the lambda would re-split
+    // the whole doc per shingle element (O(tokens²) per doc)
+    val raw = docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .select(col("doc_id"),
+        expr(
+          s"""array_distinct(transform(sequence(1, greatest(size(t) - ${shingleLen - 1}, 0)),
+              i -> concat_ws(' ', slice(t, i, $shingleLen))))""")
+          .as("shingles"))
     // Optional df-prune (maxDfFraction < 1): a shingle present in more
     // than that fraction of docs carries no near-dup signal but floods
     // LSH buckets (every doc holding the globally-min-hashed shingle
