@@ -32,13 +32,15 @@ object IncrementalRollup {
         Some(spark.read.parquet(rollupPath))
       else None
 
-    val highWater = existing
-      .map(_.agg(max(col("day"))).collect().head)
-      .flatMap(r => Option(r.getDate(0)))
-
-    val fresh = highWater match {
-      case Some(hw) => fact.filter(to_date(col(tsCol)) > lit(hw))
-      case None     => fact
+    // high-water mark joined into the plan as a broadcast scalar — no
+    // driver-side action; NULL hw (empty rollup) keeps every row
+    val fresh = existing match {
+      case Some(roll) =>
+        val hw = roll.agg(max(col("day")).as("graft_hw"))
+        fact.crossJoin(broadcast(hw))
+          .filter(col("graft_hw").isNull || to_date(col(tsCol)) > col("graft_hw"))
+          .drop("graft_hw")
+      case None => fact
     }
 
     val delta = fresh
