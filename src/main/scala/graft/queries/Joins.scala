@@ -201,7 +201,45 @@ object Joins {
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
 
+  /** Salted skew join — the standard fix when one fact key is hot
+    * enough to overwhelm a single reducer: the fact side gets a
+    * row-deterministic salt in [0, 8), the (small) dim side is
+    * replicated ×8 with every salt value, and the join runs on
+    * (key, salt) so the hot key's rows spread across 8 partitions.
+    * Semantics-preserving by construction (each fact row matches exactly
+    * one replica), so the oracle is the PLAIN join. Forced to
+    * sort-merge via hint — a broadcast join would sidestep the very
+    * shuffle the technique exists to fix. AQE's skew-join splitting
+    * handles moderate skew automatically; explicit salting is the
+    * answer when a single key exceeds what one task can hold.
+    */
+  val joinSkewSalted: Q = Q(
+    "join_skew_salted",
+    """SELECT c_mktsegment, count(*) AS n_events,
+      |       count(DISTINCT user_id) AS n_users,
+      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val salts = 8
+    val fact = T.events(s, d)
+      .withColumn("salt", pmod(col("event_id"), lit(salts)).cast("int"))
+    val dim = T.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        explode(sequence(lit(0), lit(salts - 1)).cast("array<int>")).as("salt"))
+    fact.join(dim.hint("merge"),
+        col("user_id") === col("c_custkey") && fact("salt") === dim("salt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,6)")).as("total_value"))
+      .orderBy(col("c_mktsegment").asc_nulls_first)
+  }
+
   val all: Seq[Q] = Seq(
     joinInnerEqui, joinBroadcast, joinLeftOuter, joinFullOuter,
-    joinSemi, joinAnti, joinThetaRange, joinAsof, joinCrossSmall)
+    joinSemi, joinAnti, joinThetaRange, joinAsof, joinCrossSmall,
+    joinSkewSalted)
 }
