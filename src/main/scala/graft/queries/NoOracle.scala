@@ -40,6 +40,30 @@ object NoOracle {
       .orderBy(col("l_returnflag").asc_nulls_first, col("p").asc_nulls_first)
   }
 
+  /** B10: count-min sketch — the streaming-friendly frequency estimator
+    * (point lookups over a fixed-size sketch; sketches merge, so the
+    * same shape scales by partial aggregation). Built per returnflag
+    * with a fixed seed, probed for three known part keys via the sketch
+    * library (no SQL probe function exists). Estimates are
+    * deterministic: fixed seed, merge is commutative (counter sums).
+    */
+  val countMin: Q = Q.noOracle("b10_count_min") { (s, d) =>
+    val probe = udf { (bytes: Array[Byte], key: Long) =>
+      org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+        .estimateCount(key)
+    }
+    T.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("count_min_sketch(l_partkey, 0.001d, 0.99d, 42)").as("cms"),
+        count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("n_rows"),
+        probe(col("cms"), lit(1L)).as("est_part1"),
+        probe(col("cms"), lit(2L)).as("est_part2"),
+        probe(col("cms"), lit(3L)).as("est_part3"))
+      .orderBy(col("l_returnflag").asc_nulls_first)
+  }
+
   /** B11: seeded Bernoulli sampling (deterministic per seed+partitioning). */
   val sampleSeeded: Q = Q.noOracle("b11_sample_seeded") { (s, d) =>
     T.lineitem(s, d)
@@ -105,6 +129,6 @@ object NoOracle {
   }
 
   val all: Seq[Q] = Seq(
-    approxDistinct, approxPercentile, sampleSeeded, lshTextNearDup,
+    approxDistinct, approxPercentile, countMin, sampleSeeded, lshTextNearDup,
     lshEmbeddingNear, udfSurface, multimodalFeatures, streamTransformBatchRun)
 }

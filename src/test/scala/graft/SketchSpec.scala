@@ -41,6 +41,31 @@ class SketchSpec extends SparkSpec {
     assert(approx >= bounds.getDouble(0) && approx <= bounds.getDouble(1))
   }
 
+  test("count-min estimates are upper bounds within eps*N of true counts") {
+    import org.apache.spark.sql.Row
+    val d = sf("sf0.01")
+    val est = SparkEntry.queries("b10_count_min")(spark, d)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val truth = Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("l_partkey") === 1, 1).otherwise(0)).as("c1"),
+        sum(when(col("l_partkey") === 2, 1).otherwise(0)).as("c2"),
+        sum(when(col("l_partkey") === 3, 1).otherwise(0)).as("c3"),
+        count(lit(1)).as("n"))
+      .collect().map { case Row(f: String, c1: Long, c2: Long, c3: Long, n: Long) =>
+        f -> (c1, c2, c3, n)
+      }.toMap
+    truth.foreach { case (f, (c1, c2, c3, n)) =>
+      val (e1, e2, e3) = est(f)
+      val slack = math.ceil(0.001 * n).toLong // eps * N
+      assert(e1 >= c1 && e1 <= c1 + slack, s"$f key1: est=$e1 true=$c1 slack=$slack")
+      assert(e2 >= c2 && e2 <= c2 + slack, s"$f key2: est=$e2 true=$c2")
+      assert(e3 >= c3 && e3 <= c3 + slack, s"$f key3: est=$e3 true=$c3")
+    }
+  }
+
   test("seeded sample is deterministic and near the target fraction") {
     val li = Tables.lineitem(spark, sf("sf0.01"))
     val n1 = li.sample(withReplacement = false, fraction = 0.1, seed = 42L).count()
