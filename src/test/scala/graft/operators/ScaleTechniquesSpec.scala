@@ -55,6 +55,46 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter semi-join-reduces the fact side of a selective join") {
+    // At 100 TB, a selective dim filter should prune fact rows BEFORE the
+    // join shuffle. Spark 4's runtime bloom filter does exactly that; the
+    // default thresholds (10 GB application side) suppress it at test
+    // scale, so lower them and assert the rewrite actually fires.
+    val restore = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // the application side must carry its own shuffle (here: the
+      // per-order pre-aggregation) — that's what the bloom filter saves:
+      // rows pruned BEFORE the aggregate's exchange, not after
+      def shape = T.lineitem(spark, sf("sf0.01"))
+        .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("qty"))
+        .join(T.orders(spark, sf("sf0.01")).filter(col("o_totalprice") > 400000),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("qty")).as("total_qty"))
+      val j = shape
+      val optimized = j.queryExecution.optimizedPlan.toString()
+      assert(optimized.contains("might_contain") && optimized.contains("bloom_filter_agg"),
+        s"runtime bloom filter did not inject:\n$optimized")
+      // and it must not change results: rerun the same shape with the
+      // feature off
+      val withBloom = j.collect().map(_.toString).sorted
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val without = shape.collect().map(_.toString).sorted
+      assert(withBloom.sameElements(without))
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("salted join equals the plain join on a skewed key distribution") {
     import spark.implicits._
     // 90% of left rows share one hot key — the classic straggler shape

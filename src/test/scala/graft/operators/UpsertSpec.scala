@@ -1,0 +1,55 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables => T}
+
+class UpsertSpec extends SparkSpec {
+
+  test("upsert inserts new keys, replaces existing, keeps untouched rows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_upsert").toString + "/t"
+    val base = Seq((1L, "a", 10), (2L, "b", 10), (3L, "c", 10))
+      .toDF("id", "payload", "version")
+    Upsert.intoParquet(spark, dir, base, Seq("id"), "version")
+
+    // update id=2 (even with an OLDER version — incoming wins), insert id=4
+    val delta = Seq((2L, "b2", 5), (4L, "d", 11)).toDF("id", "payload", "version")
+    val n = Upsert.intoParquet(spark, dir, delta, Seq("id"), "version")
+    assert(n == 4)
+
+    val out = spark.read.parquet(dir).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(out == Seq((1L, "a", 10), (2L, "b2", 5), (3L, "c", 10), (4L, "d", 11)))
+    assert(!Files.exists(java.nio.file.Paths.get(dir + "__upsert_old")))
+  }
+
+  test("duplicate keys WITHIN the incoming batch resolve to highest version") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_upsert2").toString + "/t"
+    val batch = Seq((1L, "v1", 1), (1L, "v3", 3), (1L, "v2", 2))
+      .toDF("id", "payload", "version")
+    Upsert.intoParquet(spark, dir, batch, Seq("id"), "version")
+    val out = spark.read.parquet(dir).collect()
+    assert(out.length == 1 && out.head.getString(1) == "v3")
+  }
+
+  test("upsert result equals a reference merge over a real table slice") {
+    val dir = Files.createTempDirectory("graft_upsert3").toString + "/t"
+    val o = T.orders(spark, sf())
+      .select(col("o_orderkey"), col("o_totalprice"), lit(1).as("version"))
+    Upsert.intoParquet(spark, dir, o.filter(col("o_orderkey") <= 1000),
+      Seq("o_orderkey"), "version")
+    val updates = o.filter(col("o_orderkey").between(500, 1500))
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .withColumn("version", lit(2))
+    Upsert.intoParquet(spark, dir, updates, Seq("o_orderkey"), "version")
+
+    val merged = spark.read.parquet(dir)
+    val expected = o.filter(col("o_orderkey") <= 1000)
+      .join(updates.select(col("o_orderkey").as("uk")), col("o_orderkey") === col("uk"), "left_anti")
+      .unionByName(updates)
+    assert(merged.count() == expected.count())
+    assert(merged.exceptAll(expected).isEmpty && expected.exceptAll(merged).isEmpty)
+  }
+}
