@@ -238,8 +238,34 @@ object Joins {
       .orderBy(col("c_mktsegment").asc_nulls_first)
   }
 
+  /** LATERAL correlated subquery with per-row ORDER BY + LIMIT — the
+    * top-N-per-group shape expressed as a join (both engines support
+    * LATERAL natively; Spark plans it as a correlated lateral join).
+    * Runs through the SQL-text entry point (SURVEY §3.3) — same dialect
+    * in both engines here, so the oracle IS the query text.
+    */
+  val joinLateral: Q = Q(
+    "join_lateral",
+    """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer, LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |                        WHERE o_custkey = c_custkey
+      |                        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |WHERE c_custkey < 100
+      |ORDER BY c_custkey NULLS FIRST, o_totalprice DESC, o_orderkey NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    T.customer(s, d).createOrReplaceTempView("customer")
+    T.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer, LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |                        WHERE o_custkey = c_custkey
+        |                        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c_custkey < 100
+        |ORDER BY c_custkey ASC NULLS FIRST, o_totalprice DESC, o_orderkey ASC NULLS FIRST""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     joinInnerEqui, joinBroadcast, joinLeftOuter, joinFullOuter,
     joinSemi, joinAnti, joinThetaRange, joinAsof, joinCrossSmall,
-    joinSkewSalted)
+    joinSkewSalted, joinLateral)
 }
