@@ -18,7 +18,8 @@ class PlanQualitySpec extends SparkSpec {
     "subquery_scalar",     // scalar subquery joins back as a 1-row cross
     "text_tfidf",          // N-docs scalar joined as 1-row cross
     "dedup_fuzzy_levenshtein", // bounded (≤60-key) all-pairs edit distance
-    "dedup_embedding")     // exact all-pairs baseline (scalable twin: b6/ann_ivf)
+    "dedup_embedding",     // exact all-pairs baseline (scalable twin: b6/ann_ivf)
+    "ts_gapfill_locf")     // 1-row bounds aggregate crossed into the grid generator
 
   test("no unintended cartesian/broadcast-nested-loop joins") {
     val offenders = SparkEntry.declared.flatMap { q =>
