@@ -34,6 +34,35 @@ class UpsertSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getString(1) == "v3")
   }
 
+  test("property: any sequence of upsert batches equals the in-memory reference merge") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val batchGen = Gen.listOfN(3, Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0L, 12L), Gen.choose(1, 9))))
+    // fixed seeds → reproducible; each sample is 3 sequential batches
+    (1 to 5).foreach { i =>
+      val batches = batchGen(Gen.Parameters.default, Seed(i.toLong)).get
+      val dir = Files.createTempDirectory(s"graft_upsert_prop$i").toString + "/t"
+      val reference = scala.collection.mutable.Map.empty[Long, (String, Int)]
+      batches.zipWithIndex.foreach { case (batch, bi) =>
+        val rows = batch.map { case (k, v) => (k, s"p${bi}_${k}_$v", v) }
+        Upsert.intoParquet(spark, dir,
+          rows.toDF("id", "payload", "version"), Seq("id"), "version")
+        // reference: within a batch highest version wins (ties: by key
+        // order is irrelevant — same key+version = same payload here);
+        // across batches the newer batch always wins
+        rows.groupBy(_._1).foreach { case (k, dups) =>
+          val best = dups.maxBy(_._3)
+          reference(k) = (best._2, best._3)
+        }
+      }
+      val got = spark.read.parquet(dir).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+      assert(got == reference.toMap, s"seed $i diverged")
+    }
+  }
+
   test("upsert result equals a reference merge over a real table slice") {
     val dir = Files.createTempDirectory("graft_upsert3").toString + "/t"
     val o = T.orders(spark, sf())
