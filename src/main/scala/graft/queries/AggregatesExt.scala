@@ -70,5 +70,28 @@ object AggregatesExt {
       .orderBy(col("c_nationkey").asc_nulls_first)
   }
 
-  val all: Seq[Q] = Seq(aggCorr, aggPercentile, fnStringagg)
+  /** Equal-width histogram via floor arithmetic (DuckDB has no
+    * width_bucket, so BOTH sides use the same portable formula; last
+    * bucket capped). min/max per bucket are comparisons, not sums —
+    * exact on doubles.
+    */
+  val aggHistogram: Q = Q(
+    "agg_histogram",
+    """SELECT CAST(least(floor(o_totalprice / 50000), 9) AS BIGINT) AS bucket,
+      |       count(*) AS n,
+      |       CAST(min(o_totalprice) AS DOUBLE) AS lo,
+      |       CAST(max(o_totalprice) AS DOUBLE) AS hi
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY bucket NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    T.orders(s, d)
+      .groupBy(least(floor(col("o_totalprice") / 50000), lit(9)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).cast("double").as("lo"),
+        max(col("o_totalprice")).cast("double").as("hi"))
+      .orderBy(col("bucket").asc_nulls_first)
+  }
+
+  val all: Seq[Q] = Seq(aggCorr, aggPercentile, fnStringagg, aggHistogram)
 }

@@ -53,5 +53,49 @@ object TimeSeriesOps {
       .orderBy(col("event_type").asc_nulls_first, col("h").asc_nulls_first)
   }
 
-  val all: Seq[Q] = Seq(tsGapfillLocf)
+  /** Hourly OHLC (open/high/low/close) candles per series — the other
+    * standard downsample. Open/close via row_number over (ts, event_id)
+    * (ties on ts broken by the unique event id — D4); high/low are
+    * comparisons, so everything is exact on doubles, no summation.
+    */
+  val tsOhlc: Q = Q(
+    "ts_ohlc",
+    """WITH ranked AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, value,
+      |         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+      |                            ORDER BY ts, event_id) AS rn_open,
+      |         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+      |                            ORDER BY ts DESC, event_id DESC) AS rn_close
+      |  FROM events
+      |)
+      |SELECT event_type, h,
+      |       CAST(max(CASE WHEN rn_open = 1 THEN value END) AS DOUBLE) AS open,
+      |       CAST(max(value) AS DOUBLE) AS high,
+      |       CAST(min(value) AS DOUBLE) AS low,
+      |       CAST(max(CASE WHEN rn_close = 1 THEN value END) AS DOUBLE) AS close,
+      |       count(*) AS n_ticks
+      |FROM ranked
+      |GROUP BY event_type, h
+      |ORDER BY event_type NULLS FIRST, h NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val part = Seq(col("event_type"), date_trunc("hour", col("ts")))
+    val wOpen = Window.partitionBy(part: _*)
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wClose = Window.partitionBy(part: _*)
+      .orderBy(col("ts").desc, col("event_id").desc)
+    T.events(s, d)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"), col("value"),
+        row_number().over(wOpen).as("rn_open"),
+        row_number().over(wClose).as("rn_close"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(
+        max(when(col("rn_open") === 1, col("value"))).cast("double").as("open"),
+        max(col("value")).cast("double").as("high"),
+        min(col("value")).cast("double").as("low"),
+        max(when(col("rn_close") === 1, col("value"))).cast("double").as("close"),
+        count(lit(1)).as("n_ticks"))
+      .orderBy(col("event_type").asc_nulls_first, col("h").asc_nulls_first)
+  }
+
+  val all: Seq[Q] = Seq(tsGapfillLocf, tsOhlc)
 }
