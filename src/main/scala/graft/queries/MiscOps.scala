@@ -175,7 +175,30 @@ object MiscOps {
       .limit(200)
   }
 
+  /** printf-style formatting (Spark format_string ↔ DuckDB printf —
+    * same conversions for %d/%s/%.2f/%x on long/string/double; Spark
+    * needs the float operand to be DOUBLE, a Decimal literal throws).
+    */
+  val fnFormat: Q = Q(
+    "fn_format",
+    """SELECT o_orderkey,
+      |       printf('%08d|%s|%.2f', o_orderkey, o_orderstatus, o_totalprice) AS line,
+      |       printf('%x', o_orderkey) AS key_hex
+      |FROM orders
+      |ORDER BY o_orderkey NULLS FIRST
+      |LIMIT 200""".stripMargin
+  ) { (s, d) =>
+    T.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        format_string("%08d|%s|%.2f", col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice")).as("line"),
+        format_string("%x", col("o_orderkey")).as("key_hex"))
+      .orderBy(col("o_orderkey").asc_nulls_first)
+      .limit(200)
+  }
+
   val all: Seq[Q] = Seq(
     fnBitwise, fnHash, aggBool, aggMinmaxBy, setIntersectAll, setExceptAll,
-    fnStruct, fnEpoch)
+    fnStruct, fnEpoch, fnFormat)
 }
