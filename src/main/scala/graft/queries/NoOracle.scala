@@ -64,6 +64,18 @@ object NoOracle {
       .orderBy(col("l_returnflag").asc_nulls_first)
   }
 
+  /** B10: approximate heavy hitters (approx_top_k sketch), exploded to
+    * plain rows (top-level STRUCT arrays crash the driver's hasher).
+    */
+  val approxTopK: Q = Q.noOracle("b10_approx_topk") { (s, d) =>
+    T.part(s, d)
+      .agg(expr("approx_top_k(p_brand, 5)").as("tk"))
+      .select(posexplode(col("tk")).as(Seq("rank0", "entry")))
+      .select((col("rank0") + 1).cast("long").as("rank"),
+        col("entry.item").as("brand"), col("entry.count").as("est_count"))
+      .orderBy(col("rank").asc_nulls_first)
+  }
+
   /** B11: seeded Bernoulli sampling (deterministic per seed+partitioning). */
   val sampleSeeded: Q = Q.noOracle("b11_sample_seeded") { (s, d) =>
     T.lineitem(s, d)
@@ -129,6 +141,7 @@ object NoOracle {
   }
 
   val all: Seq[Q] = Seq(
-    approxDistinct, approxPercentile, countMin, sampleSeeded, lshTextNearDup,
-    lshEmbeddingNear, udfSurface, multimodalFeatures, streamTransformBatchRun)
+    approxDistinct, approxPercentile, countMin, approxTopK, sampleSeeded,
+    lshTextNearDup, lshEmbeddingNear, udfSurface, multimodalFeatures,
+    streamTransformBatchRun)
 }
