@@ -136,6 +136,31 @@ def main():
                     which = sr if len(sr) > len(dr) else dr
                     print(f"  extra row: {which[min(len(sr), len(dr))]}")
             n_fail += 1
+    # rows-only keys (declared without an oracle): the driver records a
+    # rows>0 check — and crashes like t2 on unhashable cells, so probe
+    # both here too
+    for d in sorted(os.listdir(out_dir)):
+        res_dir = f"{out_dir}/{d}"
+        if d in oracle or not os.path.isdir(res_dir):
+            continue
+        if only and d not in only:
+            continue
+        files = glob.glob(f"{res_dir}/*.parquet")
+        try:
+            sdf = pd.read_parquet(files[0]) if files else None
+            if sdf is None or not len(sdf):
+                print(f"FAIL {d} (rows-only): empty result")
+                n_fail += 1
+                continue
+            frame_cells(sdf)
+            print(f"PASS {d} (rows-only, {len(sdf)} rows)")
+            n_pass += 1
+        except Unhashable as e:
+            print(f"FAIL {d} (rows-only): unhashable cell ({e})")
+            n_fail += 1
+        except Exception as e:
+            print(f"FAIL {d} (rows-only): {e}")
+            n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
