@@ -152,6 +152,72 @@ object LlmOpsAnn {
       .orderBy(col("hamming").asc_nulls_first)
   }
 
+  /** Banded SimHash near-dup — the SCALE shape for dedup_simhash's
+    * all-pairs histogram: split the 32-bit fingerprint into 4 bands of
+    * 8 bits, equi-join on (band, key) for candidates, verify exact
+    * Hamming on candidates only. By pigeonhole, ≤3 differing bits
+    * cannot touch all 4 bands, so recall is EXACTLY 1 for hamming ≤ 3 —
+    * which is why the brute-force all-pairs SQL is a valid oracle for
+    * the hamming ≤ 2 result (banding is pruning, not approximation,
+    * at this threshold).
+    */
+  val dedupSimhashBanded: Q = Q(
+    "dedup_simhash_banded",
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS t FROM documents
+       |), codes AS (
+       |  SELECT doc_id, CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS h FROM tok
+       |), bits AS (
+       |  SELECT doc_id, j,
+       |         sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS bal
+       |  FROM codes, unnest(generate_series(0, 31)) AS u(j)
+       |  GROUP BY doc_id, j
+       |), fp AS (
+       |  SELECT doc_id,
+       |         sum(CASE WHEN bal > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS simhash
+       |  FROM bits GROUP BY doc_id
+       |)
+       |SELECT bit_count(xor(a.simhash, b.simhash)) AS hamming, count(*) AS n_pairs
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+       |GROUP BY 1
+       |ORDER BY hamming NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val codes = T.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(split(lower(col("text")), " "))).as("t"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)").as("h"))
+    val bits = codes
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("j"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(when(expr("(h >> j) & 1") === 1, 1).otherwise(-1)).as("bal"))
+    val fp = bits.groupBy(col("doc_id"))
+      .agg(sum(when(col("bal") > 0, expr("CAST(shiftleft(CAST(1 AS BIGINT), j) AS BIGINT)"))
+        .otherwise(0L)).as("simhash"))
+      // rows are already unique per doc_id; the distinct() exists to
+      // materialize ONE exchange reused by the band explode and both
+      // verify sides (same trick as dedup_ngram_jaccard)
+      .distinct()
+    // fingerprints ride along the band rows, so verification is a
+    // column expression on the band join itself (no re-join against fp)
+    // and the hamming filter prunes BEFORE the pair-dedup shuffle
+    val bands = fp.select(col("doc_id").as("bid"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("band"))
+      .select(col("bid"), col("simhash"), col("band"),
+        expr("(simhash >> (8 * band)) & 255").as("k"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.k") === col("y.k")
+          && col("x.bid") < col("y.bid"))
+      .select(col("x.bid").as("a"), col("y.bid").as("b"),
+        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .filter(col("hamming") <= 2)
+      .distinct()
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("hamming").asc_nulls_first)
+  }
+
   private def cosCol(aEmb: String, bEmb: String): Column = {
     import graft.functions.VectorOps
     VectorOps.dot(col(aEmb), col(bEmb)) /
@@ -313,5 +379,6 @@ object LlmOpsAnn {
       .orderBy(col("query_id").asc_nulls_first, col("rank").asc_nulls_first)
   }
 
-  val all: Seq[Q] = Seq(dedupMinhashLsh, dedupSimhash, annIvfTopk, annIvfNprobe)
+  val all: Seq[Q] =
+    Seq(dedupMinhashLsh, dedupSimhash, dedupSimhashBanded, annIvfTopk, annIvfNprobe)
 }

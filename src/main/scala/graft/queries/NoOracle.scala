@@ -128,6 +128,24 @@ object NoOracle {
       .orderBy(col("kind").asc_nulls_first)
   }
 
+  /** Multimodal: video frame sampling surfaced to the driver — frames
+    * exploded per video asset, counted per asset-id bucket (the frame
+    * payloads themselves stay executor-side).
+    */
+  val multimodalFrames: Q = Q.noOracle("multimodal_frames") { (s, d) =>
+    import s.implicits._
+    val assets = graft.multimodal.Multimodal
+      .syntheticAssets(s, T.documents(s, d).select(col("doc_id")), "doc_id")
+      .as[graft.multimodal.Multimodal.Asset]
+    graft.multimodal.Multimodal.sampleFrames(assets)
+      .toDF()
+      .groupBy((col("asset_id") % 10).as("asset_bucket"))
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct(col("asset_id")).as("n_videos"),
+        max(length(col("content"))).as("max_frame_bytes"))
+      .orderBy(col("asset_bucket").asc_nulls_first)
+  }
+
   /** Streaming runtime smoke as a batch-bounded run: the watermarked
     * tumbling aggregation executed over a bounded stream of the events
     * table via an in-memory sink would need a streaming query; here the
@@ -143,5 +161,5 @@ object NoOracle {
   val all: Seq[Q] = Seq(
     approxDistinct, approxPercentile, countMin, approxTopK, sampleSeeded,
     lshTextNearDup, lshEmbeddingNear, udfSurface, multimodalFeatures,
-    streamTransformBatchRun)
+    multimodalFrames, streamTransformBatchRun)
 }
