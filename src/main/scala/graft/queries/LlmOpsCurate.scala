@@ -136,5 +136,34 @@ object LlmOpsCurate {
       .limit(200)
   }
 
-  val all: Seq[Q] = Seq(dataSplitHash, sampleStratified, textChunk, textRedact)
+  /** Data-quality profile — the ETL "validate" stage as a query:
+    * per-column row/non-null/distinct counts, computed in ONE pass over
+    * the table (a single aggregate, stacked to rows) rather than one
+    * scan per column. Metadata-driven: the column list drives the
+    * generated aggregates, mirroring how the reference's manifest
+    * drives its loads.
+    */
+  val dqProfile: Q = {
+    val cols = Seq("c_acctbal", "c_custkey", "c_mktsegment", "c_name", "c_nationkey")
+    Q(
+      "dq_profile",
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |       count($c) AS n_nonnull, count(DISTINCT $c) AS n_distinct
+           |FROM customer""".stripMargin
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n)\nORDER BY col_name NULLS FIRST")
+    ) { (s, d) =>
+      val aggs = cols.flatMap(c => Seq(
+        count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c")))
+      val one = T.customer(s, d)
+        .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      val stackArgs = cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
+      one.select(col("n_rows"),
+        expr(s"stack(${cols.size}, $stackArgs) AS (col_name, n_nonnull, n_distinct)"))
+        .select(col("col_name"), col("n_rows"), col("n_nonnull"), col("n_distinct"))
+        .orderBy(col("col_name").asc_nulls_first)
+    }
+  }
+
+  val all: Seq[Q] = Seq(dataSplitHash, sampleStratified, textChunk, textRedact, dqProfile)
 }
