@@ -158,8 +158,27 @@ object NoOracle {
       .orderBy(col("window_start").asc_nulls_first, col("event_type").asc_nulls_first)
   }
 
+  /** B9 surfaced to the driver: the flatMapGroupsWithState custom-state
+    * transform run over the bounded events table (batch mode = one
+    * "micro-batch", state starts empty per key — Spark's unified API
+    * runs the same function either way; true cross-batch state
+    * accumulation is asserted in StreamOpsSpec). Only the deterministic
+    * count column is declared — the state's double total depends on
+    * per-group iterator order.
+    */
+  val streamStateBatchRun: Q = Q.noOracle("b9_stream_state") { (s, d) =>
+    import s.implicits._
+    val ev = T.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[graft.streaming.GEvent]
+    graft.streaming.StreamOps.runningUserAggs(ev)
+      .toDF()
+      .select(col("user_id"), col("n_events"))
+      .orderBy(col("user_id").asc_nulls_first)
+  }
+
   val all: Seq[Q] = Seq(
     approxDistinct, approxPercentile, countMin, approxTopK, sampleSeeded,
     lshTextNearDup, lshEmbeddingNear, udfSurface, multimodalFeatures,
-    multimodalFrames, streamTransformBatchRun)
+    multimodalFrames, streamStateBatchRun, streamTransformBatchRun)
 }
