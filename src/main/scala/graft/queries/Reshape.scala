@@ -224,8 +224,38 @@ object Reshape {
       .orderBy(col("p_partkey").asc_nulls_first, col("pos").asc_nulls_first)
   }
 
+  /** IN / NOT IN predicate subqueries — the other decorrelation path
+    * (RewritePredicateSubquery → semi/anti) next to the EXISTS forms in
+    * join_semi/join_anti. Both inner keys are non-null, so NOT IN's
+    * three-valued-logic trap is not in play (D4 keeps it deterministic).
+    */
+  val subqueryIn: Q = Q(
+    "subquery_in",
+    """SELECT o_orderkey, o_custkey
+      |FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer
+      |                    WHERE c_mktsegment = 'MACHINERY')
+      |  AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem
+      |                         WHERE l_quantity > 45)
+      |ORDER BY o_orderkey NULLS FIRST
+      |LIMIT 500""".stripMargin
+  ) { (s, d) =>
+    T.orders(s, d).createOrReplaceTempView("orders")
+    T.customer(s, d).createOrReplaceTempView("customer")
+    T.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT o_orderkey, o_custkey
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'MACHINERY')
+        |  AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem
+        |                         WHERE l_quantity > 45)
+        |ORDER BY o_orderkey ASC NULLS FIRST
+        |LIMIT 500""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     explodeTokens, generatorSequence, generatorInline, pivotWide, unpivotLong,
-    subqueryScalar, subqueryCorrelated, cteReuse, explodeOuter,
+    subqueryScalar, subqueryCorrelated, subqueryIn, cteReuse, explodeOuter,
     generatorPosexplode)
 }
