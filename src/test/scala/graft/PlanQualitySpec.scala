@@ -41,4 +41,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<>"),
       s"count(*) scan must prune all columns:\n$plan")
   }
+
+  test("no declared query scans the FULL schema of a wide table") {
+    // column pruning is the cheapest 100 TB lever: a scan that reads
+    // every column of lineitem (11) / events (6) / orders (6) for a
+    // narrower projection is a planning bug. Width counted from the
+    // ReadSchema struct of each scan node.
+    val fullWidths = Map("lineitem" -> 11, "events" -> 6, "orders" -> 6)
+    val scanRe = ("Location: InMemoryFileIndex[^\\n]*/(\\w+)\\.parquet[^\\n]*\\n" +
+      "(?:[^\\n]*\\n)*?[^\\n]*ReadSchema: struct<([^>]*)>").r
+    var nScans = 0
+    val offenders = SparkEntry.declared.flatMap { q =>
+      val formatted =
+        try q.fn(spark, sf()).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        catch { case _: Throwable => "" }
+      scanRe.findAllMatchIn(formatted).flatMap { m =>
+        val (table, schema) = (m.group(1), m.group(2))
+        val width = if (schema.trim.isEmpty) 0 else schema.count(_ == ':')
+        if (fullWidths.contains(table)) nScans += 1
+        fullWidths.get(table).collect {
+          case full if width >= full => s"${q.name}: $table reads all $full columns"
+        }
+      }
+    }
+    assert(nScans > 50, s"scan matcher looks broken — only $nScans wide-table scans found")
+    assert(offenders.isEmpty, s"unpruned wide scans:\n  ${offenders.mkString("\n  ")}")
+  }
 }
