@@ -148,7 +148,34 @@ object WindowsQ {
       .orderBy(col("o_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
   }
 
+  /** COUNT(DISTINCT) OVER — unsupported as a window aggregate in both
+    * engines; the standard rewrite is max(dense_rank) per partition,
+    * which both execute identically.
+    */
+  val windowDistinctCount: Q = Q(
+    "window_distinct_count",
+    """SELECT o_custkey, o_orderkey,
+      |       max(dr) OVER (PARTITION BY o_custkey) AS n_distinct_prios
+      |FROM (SELECT o_custkey, o_orderkey,
+      |             dense_rank() OVER (PARTITION BY o_custkey
+      |                                ORDER BY o_orderpriority) AS dr
+      |      FROM orders)
+      |ORDER BY o_custkey NULLS FIRST, o_orderkey NULLS FIRST
+      |LIMIT 1000""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val wRank = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderpriority").asc)
+    val wAll = Window.partitionBy(col("o_custkey"))
+    T.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        dense_rank().over(wRank).as("dr"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        max(col("dr")).over(wAll).as("n_distinct_prios"))
+      .orderBy(col("o_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+      .limit(1000)
+  }
+
   val all: Seq[Q] = Seq(
     windowRank, windowRunning, windowLeadLag, windowRangeFrame,
-    windowFirstLastNtile, windowDistribution)
+    windowFirstLastNtile, windowDistribution, windowDistinctCount)
 }
