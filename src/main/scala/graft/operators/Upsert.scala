@@ -58,12 +58,16 @@ object Upsert {
 
   /** One row per key: highest (srcCol, versionCol) wins — srcCol first
     * so any incoming row beats any existing row regardless of version
-    * (MERGE semantics), version orders within a side. */
+    * (MERGE semantics), version orders within a side. A content-hash
+    * tiebreak makes even a pathological batch (same key+version,
+    * different payloads) resolve deterministically instead of by
+    * partition order. */
   private[operators] def dedupLatest(df: DataFrame, keys: Seq[String],
                                      versionCol: String,
                                      srcCol: Option[String] = None): DataFrame = {
     val order = srcCol.map(col(_).desc).toSeq ++
-      Seq(col(versionCol).desc) ++ keys.map(col(_).asc)
+      Seq(col(versionCol).desc) :+
+      xxhash64(df.columns.sorted.map(col).toIndexedSeq: _*).asc
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     df.withColumn("graft_rn", row_number().over(w))
       .filter(col("graft_rn") === 1)
