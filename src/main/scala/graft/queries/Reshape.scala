@@ -254,8 +254,30 @@ object Reshape {
         |LIMIT 500""".stripMargin)
   }
 
+  /** WITH RECURSIVE (Spark 4 gained it) — a recursive bucket spine
+    * LEFT-joined to the price histogram, so empty buckets still appear.
+    * Same SQL text runs on both engines; Spark executes through the
+    * SQL entry point.
+    */
+  private val cteRecursiveSql =
+    """WITH RECURSIVE buckets(b) AS (
+      |  SELECT 0
+      |  UNION ALL
+      |  SELECT b + 1 FROM buckets WHERE b < 11
+      |)
+      |SELECT b, count(o_orderkey) AS n
+      |FROM buckets LEFT JOIN orders
+      |  ON CAST(least(floor(o_totalprice / 50000), 11) AS BIGINT) = b
+      |GROUP BY b
+      |ORDER BY b NULLS FIRST""".stripMargin
+
+  val cteRecursive: Q = Q("cte_recursive", cteRecursiveSql) { (s, d) =>
+    T.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(cteRecursiveSql)
+  }
+
   val all: Seq[Q] = Seq(
     explodeTokens, generatorSequence, generatorInline, pivotWide, unpivotLong,
-    subqueryScalar, subqueryCorrelated, subqueryIn, cteReuse, explodeOuter,
-    generatorPosexplode)
+    subqueryScalar, subqueryCorrelated, subqueryIn, cteReuse, cteRecursive,
+    explodeOuter, generatorPosexplode)
 }
