@@ -272,12 +272,16 @@ object LlmOpsAnn {
     val cent = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
     val cosAssign = cosCol("embedding", "c_emb")
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(cosAssign.desc, col("cent_id").asc)
+    // Assignment is an ARGMAX, so express it as a partial-aggregable
+    // max_by instead of row_number over a window: the window form forces
+    // a hash exchange of all n·k crossed rows (each carrying two float
+    // vectors); max_by partial-aggregates map-side behind the broadcast
+    // join, so only n (vec_id, cent_id) pairs ever shuffle. Tie-break
+    // matches the oracle's (cos DESC, cent_id ASC): lexicographic max of
+    // (cos, -cent_id).
     val assign = e.crossJoin(broadcast(cent))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cent_id"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"), struct(cosAssign, -col("cent_id"))).as("cent_id"))
     val assigned = e.join(assign, "vec_id")
     val q = assigned.filter(col("vec_id").isin(200, 300, 400))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
@@ -351,18 +355,20 @@ object LlmOpsAnn {
     val cent = e.crossJoin(broadcast(kRow)).filter(col("vec_id") < col("k"))
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
     val cosAssign = cosCol("embedding", "c_emb")
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(cosAssign.desc, col("cent_id").asc)
+    // max_by argmax assignment (not a window) — see annIvfTopk: only the
+    // n (vec_id, cent_id) pairs shuffle, never the n·√n crossed vectors.
     val assign = e.crossJoin(broadcast(cent))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cent_id"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"), struct(cosAssign, -col("cent_id"))).as("cent_id"))
     val nbr = e.join(assign, "vec_id")
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
         col("cent_id").as("n_cent"))
+    // probe keeps the window form — it ranks 3 query rows × k centroids
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(cosAssign.desc, col("cent_id").asc)
     val probe = e.filter(col("vec_id").isin(200, 300, 400))
       .crossJoin(broadcast(cent))
-      .withColumn("rn", row_number().over(wAssign))
+      .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("cent_id").as("q_cent"))
