@@ -385,6 +385,118 @@ object LlmOpsAnn {
       .orderBy(col("query_id").asc_nulls_first, col("rank").asc_nulls_first)
   }
 
+  /** IVF with REAL centroids (VERDICT r2 item 4): one deterministic
+    * Lloyd iteration — assign to the √n seed centroids, recompute each
+    * centroid as the per-dimension mean of its members, reassign — then
+    * the same nprobe=8 probed search as ann_ivf_nprobe. One iteration
+    * lifts recall@5 at nprobe=8 from 0.53 to ~0.87 on this corpus
+    * (IvfRecallSpec pins ≥ 0.7).
+    *
+    * Determinism of the mean is the crux for the oracle compare: a
+    * naive double sum is shuffle-order-dependent. The member sums run
+    * in DECIMAL(20,10) — exact, hence order-insensitive and identical
+    * across engines — and the final mean is rounded to FLOAT, which
+    * absorbs the cast's half-ulp edge cases. Scale posture: both
+    * assignments are partial-aggregable max_by argmaxes behind a
+    * broadcast of k=√n centroids; the update is one groupBy(cent, dim)
+    * aggregation over n·d exploded dims (map-side combined); nothing
+    * quadratic anywhere.
+    */
+  val annIvfKmeans: Q = Q(
+    "ann_ivf_kmeans", {
+      val cosAssign = duckCos("v.embedding", "c.embedding")
+      val cosSearch = duckCos("q.embedding", "n.embedding")
+      s"""WITH cent0 AS (
+         |  SELECT vec_id AS cent_id, embedding FROM embeddings
+         |  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)
+         |), assign0 AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT v.vec_id, c.cent_id,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |                              ORDER BY $cosAssign DESC, c.cent_id ASC) AS rn
+         |    FROM embeddings v CROSS JOIN cent0 c
+         |  ) WHERE rn = 1
+         |), dims AS (
+         |  SELECT a.cent_id, unnest(generate_series(1, len(v.embedding))) AS pos,
+         |         unnest(v.embedding) AS val
+         |  FROM embeddings v JOIN assign0 a ON v.vec_id = a.vec_id
+         |), upd AS (
+         |  SELECT cent_id, pos,
+         |         CAST(CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS FLOAT) AS m
+         |  FROM dims GROUP BY 1, 2
+         |), cent AS (
+         |  SELECT cent_id, list(m ORDER BY pos) AS embedding FROM upd GROUP BY cent_id
+         |), assign AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT v.vec_id, c.cent_id,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |                              ORDER BY $cosAssign DESC, c.cent_id ASC) AS rn
+         |    FROM embeddings v CROSS JOIN cent c
+         |  ) WHERE rn = 1
+         |), nbr AS (
+         |  SELECT e.vec_id, e.embedding, a.cent_id
+         |  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+         |), probe AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT v.vec_id, c.cent_id,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |                              ORDER BY $cosAssign DESC, c.cent_id ASC) AS rn
+         |    FROM embeddings v CROSS JOIN cent c
+         |    WHERE v.vec_id IN (200, 300, 400)
+         |  ) WHERE rn <= 8
+         |), q AS (
+         |  SELECT e.vec_id, e.embedding, p.cent_id
+         |  FROM embeddings e JOIN probe p ON e.vec_id = p.vec_id
+         |)
+         |SELECT query_id, neighbor_id, sim, rank FROM (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |         round($cosSearch, 6) AS sim,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |                            ORDER BY $cosSearch DESC, n.vec_id ASC) AS rank
+         |  FROM q JOIN nbr n ON q.cent_id = n.cent_id AND q.vec_id <> n.vec_id
+         |) WHERE rank <= 5
+         |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
+    }
+  ) { (s, d) =>
+    val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val kRow = e.agg(ceil(sqrt(count(lit(1)))).cast("long").as("k"))
+    val cent0 = e.crossJoin(broadcast(kRow)).filter(col("vec_id") < col("k"))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
+    val cosAssign = cosCol("embedding", "c_emb")
+    def assignTo(cent: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cent))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cent_id"), struct(cosAssign, -col("cent_id"))).as("cent_id"))
+    val dims = e.join(assignTo(cent0), "vec_id")
+      .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos0", "val")))
+    val upd = dims.groupBy(col("cent_id"), (col("pos0") + 1).as("pos"))
+      .agg((sum(col("val").cast("double").cast("decimal(20,10)")).cast("double") /
+        count(lit(1))).cast("float").as("m"))
+    val cent = upd.groupBy(col("cent_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("c_emb"))
+    val nbr = e.join(assignTo(cent), "vec_id")
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
+        col("cent_id").as("n_cent"))
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(cosAssign.desc, col("cent_id").asc)
+    val probe = e.filter(col("vec_id").isin(200, 300, 400))
+      .crossJoin(broadcast(cent))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("cent_id").as("q_cent"))
+    val cosSearch = cosCol("q_emb", "n_emb")
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(cosSearch.desc, col("neighbor_id").asc)
+    probe.join(nbr, col("q_cent") === col("n_cent") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosSearch, 6).as("sim"), col("rank"))
+      .orderBy(col("query_id").asc_nulls_first, col("rank").asc_nulls_first)
+  }
+
   val all: Seq[Q] =
-    Seq(dedupMinhashLsh, dedupSimhash, dedupSimhashBanded, annIvfTopk, annIvfNprobe)
+    Seq(dedupMinhashLsh, dedupSimhash, dedupSimhashBanded, annIvfTopk, annIvfNprobe,
+      annIvfKmeans)
 }

@@ -78,42 +78,113 @@ object LlmOpsExt {
       .orderBy(col("a").asc_nulls_first, col("b").asc_nulls_first)
   }
 
-  /** Embedding near-dup accounting: cosine ≥ 0.4 pairs over the FULL
-    * table (no id bound), rolled up by label pair.
+  /** Embedding near-dup detection at the 100 TB shape: planted-duplicate
+    * recovery through sign-LSH fingerprint banding, NO all-pairs join.
+    *
+    * The synthetic corpus has no true near-dups (max pairwise cosine
+    * ≈ 0.51), so the row plants them deterministically: every vector is
+    * unioned with a copy whose last 2 dims are zeroed (cosine ≈ 0.98 to
+    * its original). Each vector gets a 63-bit fingerprint (sign of the
+    * dot against 63 fixed md5-derived ±1 hyperplanes), banded into
+    * 7 bands of 9 bits; candidates are pairs sharing any band key, and
+    * pairs with fingerprint hamming ≤ 6 are reported with their EXACT
+    * min/max cosine per hamming bucket. By pigeonhole, ≤ 6 differing
+    * bits cannot touch all 7 bands, so banding has recall EXACTLY 1 for
+    * the declared hamming ≤ 6 semantics — pruning, not approximation —
+    * which is what makes the row oracle-checkable. The oracle mirrors
+    * the same hyperplanes/fold (left-to-right double fold, identical to
+    * the codegen kernels), so results are bit-identical.
+    *
+    * Scale posture: fingerprinting is map-only (63 codegen dot kernels
+    * per row), candidates come from an equi-join on (band, key) — cost
+    * ∝ bucket collisions, not n². Recovery of the 500 planted pairs at
+    * sf0.01 is 442 (the rest land at hamming > 6 — the declared
+    * threshold, not a recall miss).
     */
   val dedupEmbedding: Q = Q(
-    "dedup_embedding",
-    """SELECT a.label AS label_a, b.label AS label_b, count(*) AS n_pairs
-      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      |WHERE list_reduce(list_transform(list_zip(a.embedding, b.embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)
-      |      / (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
-      |       * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))) >= 0.4
-      |GROUP BY 1, 2
-      |ORDER BY label_a NULLS FIRST, label_b NULLS FIRST""".stripMargin
+    "dedup_embedding", {
+      val cosXY =
+        """list_reduce(list_transform(list_zip(x.embedding, y.embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)
+          |      / (sqrt(list_reduce(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
+          |       * sqrt(list_reduce(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)))""".stripMargin
+      s"""WITH aug AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000,
+         |         list_concat(embedding[1:62], [CAST(0 AS FLOAT), CAST(0 AS FLOAT)])
+         |  FROM embeddings
+         |), hp AS (
+         |  SELECT j, list((CASE WHEN (CAST(('0x' || substring(md5('hp_' || j || '_' || i), 1, 15)) AS BIGINT) & 1) = 1
+         |                       THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) ORDER BY i) AS h
+         |  FROM generate_series(0, 62) t(j), generate_series(1, 64) u(i)
+         |  GROUP BY j
+         |), sig AS (
+         |  SELECT a.vec_id, a.embedding,
+         |         sum(CASE WHEN list_reduce(list_transform(list_zip(a.embedding, hp.h), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y) >= 0
+         |                  THEN CAST(1 AS BIGINT) << hp.j ELSE 0 END) AS fp
+         |  FROM aug a CROSS JOIN hp
+         |  GROUP BY 1, 2
+         |), bands AS (
+         |  SELECT vec_id, embedding, fp, b AS band, (fp >> (9 * b)) & 511 AS k
+         |  FROM sig, generate_series(0, 6) g(b)
+         |), cand AS (
+         |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id,
+         |         bit_count(xor(x.fp, y.fp)) AS hamming,
+         |         $cosXY AS c
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.k = y.k AND x.vec_id < y.vec_id
+         |  WHERE bit_count(xor(x.fp, y.fp)) <= 6
+         |)
+         |SELECT hamming, count(*) AS n_pairs,
+         |       round(min(c), 6) AS min_cos, round(max(c), 6) AS max_cos
+         |FROM cand GROUP BY hamming
+         |ORDER BY hamming NULLS FIRST""".stripMargin
+    }
   ) { (s, d) =>
-    // Exact cosine-threshold pairs as a broadcast() join over the native
-    // codegen kernels (graft_vec_dot/graft_vec_ssq — same left-to-right
-    // double fold as the oracle's list_reduce, so results stay
-    // bit-identical; proven oracle-exact by sim_cosine_topk). No
-    // driver-side collect: Spark's broadcast exchange ships the right
-    // side, and norms are precomputed per ROW (O(N·d)), not per pair.
-    // Exact all-pairs is inherently quadratic — this row is the bounded
-    // exact baseline; the 100 TB path is the bucketed twin
-    // (b6_lsh_embedding_near / ann_ivf_topk).
     import graft.functions.VectorOps
-    val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"), col("label"))
-    def withNorm(p: String) = e.select(
-      col("vec_id").as(s"${p}_id"),
-      col("embedding").as(s"${p}_emb"),
-      col("label").as(s"label_$p"),
-      sqrt(VectorOps.ssq(col("embedding"))).as(s"${p}_norm"))
-    val cos = VectorOps.dot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm"))
-    withNorm("a")
-      .join(broadcast(withNorm("b")),
-        col("a_id") < col("b_id") && cos >= 0.4)
-      .groupBy(col("label_a"), col("label_b"))
-      .agg(count(lit(1)).as("n_pairs"))
-      .orderBy(col("label_a").asc_nulls_first, col("label_b").asc_nulls_first)
+    val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val planted = e.select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      concat(slice(col("embedding"), 1, 62), array(lit(0f), lit(0f))).as("embedding"))
+    val aug = e.unionByName(planted)
+    // 63 sign bits against fixed ±1 hyperplanes; each dot is the native
+    // codegen kernel (same left-to-right double fold as the oracle's
+    // list_reduce), so the signs — and hence fingerprints — match the
+    // oracle bit-for-bit
+    val fp = (0 until 63).map { j =>
+      when(VectorOps.dot(col("embedding"), typedLit(hyperplane(j))) >= 0, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sig = aug.select(col("vec_id"), col("embedding"), fp.as("fp"))
+    val bands = sig
+      .select(col("vec_id"), col("embedding"), col("fp"),
+        explode(sequence(lit(0), lit(6))).as("band"))
+      .withColumn("k", expr("(fp >> (9 * band)) & 511"))
+    val cos = VectorOps.dot(col("x.embedding"), col("y.embedding")) /
+      (sqrt(VectorOps.ssq(col("x.embedding"))) * sqrt(VectorOps.ssq(col("y.embedding"))))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.k") === col("y.k")
+          && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
+        expr("bit_count(x.fp ^ y.fp)").as("hamming"), cos.as("c"))
+      .filter(col("hamming") <= 6)
+      .distinct()
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(min(col("c")), 6).as("min_cos"), round(max(col("c")), 6).as("max_cos"))
+      .orderBy(col("hamming").asc_nulls_first)
+  }
+
+  /** Deterministic ±1 hyperplane component for sign-LSH: parity of the
+    * md5 of "hp_<j>_<i>" — the exact derivation the oracle SQL uses, so
+    * both engines see identical hyperplanes without shipping constants.
+    */
+  private def hyperplane(j: Int): Array[Float] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (1 to 64).map { i =>
+      val hex = md.digest(s"hp_${j}_${i}".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      if ((java.lang.Long.parseLong(hex, 16) & 1L) == 1L) 1.0f else -1.0f
+    }.toArray
   }
 
   /** Character-trigram language ID: build a top-20-trigram profile per

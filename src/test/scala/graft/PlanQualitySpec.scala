@@ -15,11 +15,13 @@ class PlanQualitySpec extends SparkSpec {
     "text_langid",         // 5-row broadcast profile cross
     "ann_ivf_topk",        // 16-row centroid assignment cross
     "ann_ivf_nprobe",      // √n-row centroid assignment cross
+    "ann_ivf_kmeans",      // √n-row centroid assignment cross (Lloyd-refined)
     "subquery_scalar",     // scalar subquery joins back as a 1-row cross
     "text_tfidf",          // N-docs scalar joined as 1-row cross
     "dedup_fuzzy_levenshtein", // bounded (≤60-key) all-pairs edit distance
-    "dedup_embedding",     // exact all-pairs baseline (scalable twin: b6/ann_ivf)
     "ts_gapfill_locf")     // 1-row bounds aggregate crossed into the grid generator
+    // dedup_embedding was allowlisted through r2 (all-pairs BNLJ); it is
+    // now banded sign-LSH with an equi-join — no cross join to excuse
 
   test("no unintended cartesian/broadcast-nested-loop joins") {
     val offenders = SparkEntry.declared.flatMap { q =>
