@@ -1,7 +1,6 @@
 package graft.ingest
 
-import java.nio.file.{Files, Path, Paths}
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -11,6 +10,12 @@ import org.apache.spark.sql.functions._
   * quarantine, evolve the schema add-only, dedup within the batch, land
   * in a parquet lake (the offline stand-in for the Greenplum sink — the
   * JDBC path is JdbcSink), archive inputs.
+  *
+  * All filesystem choreography (discovery, quarantine, archive,
+  * full-refresh swap) goes through `org.apache.hadoop.fs.FileSystem`,
+  * so upload/lake/archive directories may live on HDFS/S3A/local
+  * interchangeably — a 100 TB deployment's landing zone is a shared
+  * store, not the driver's local disk.
   *
   * Scale posture: each batch is APPENDED as new parquet files — history
   * is never rewritten. Add-only column evolution composes with parquet
@@ -51,47 +56,59 @@ object Ingest {
     * reference's retry/error folders.
     */
   def run(spark: SparkSession, conf: Config): Seq[TableReport] = {
-    val root = Paths.get(conf.uploadDir)
-    if (!Files.isDirectory(root)) return Nil
-    val tables = Files.list(root).iterator().asScala
-      .filter(Files.isDirectory(_)).toSeq.sortBy(_.getFileName.toString)
+    val fs = LakeFs.fs(spark, conf.uploadDir)
+    val root = new Path(conf.uploadDir)
+    if (!fs.exists(root) || !fs.getFileStatus(root).isDirectory) return Nil
+    val tables = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath).sortBy(_.getName).toSeq
     tables.map { dir =>
-      try loadTable(spark, conf, dir)
+      try loadTable(spark, conf, fs, dir)
       catch {
         case e: Exception =>
-          val table = dir.getFileName.toString
-          val files = listCsv(dir)
+          val table = dir.getName
+          val files = listCsv(fs, dir)
           val errRoot = if (conf.errorDir.nonEmpty) conf.errorDir
                         else s"${conf.archiveDir}/../error"
-          val err = Paths.get(errRoot, table)
-          Files.createDirectories(err)
-          files.foreach { f =>
-            val p = Paths.get(f)
-            Files.move(p, err.resolve(p.getFileName),
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          }
+          val err = new Path(errRoot, table)
+          fs.mkdirs(err)
+          files.foreach(f => moveReplacing(fs, new Path(f), err))
           TableReport(table, files, 0, 0, Nil, failed = Some(e.getMessage))
       }
     }
   }
 
-  private def listCsv(dir: Path): Seq[String] =
-    Files.list(dir).iterator().asScala
-      .filter { p =>
-        val n = p.getFileName.toString
+  private def listCsv(fs: FileSystem, dir: Path): Seq[String] =
+    fs.listStatus(dir).iterator
+      .filter { s =>
+        val n = s.getPath.getName
         n.endsWith(".csv") || n.endsWith(".csv.gz")
       }
-      .map(_.toString).toSeq.sorted
+      .map(_.getPath.toString).toSeq.sorted
+
+  /** Rename `src` into directory `dstDir`, replacing any prior copy —
+    * the Hadoop-FS equivalent of REPLACE_EXISTING (rename refuses to
+    * clobber on most stores).
+    */
+  private def moveReplacing(fs: FileSystem, src: Path, dstDir: Path): Unit = {
+    val dst = new Path(dstDir, src.getName)
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"move $src -> $dst failed")
+  }
 
   /** Lake reader: mergeSchema unions add-only evolved batches. */
   def readLake(spark: SparkSession, conf: Config, table: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(s"${conf.lakeDir}/$table")
 
-  private def loadTable(spark: SparkSession, conf: Config, dir: Path): TableReport = {
-    val table = dir.getFileName.toString
-    val manifest = Manifest.parse(
-      new String(Files.readAllBytes(dir.resolve("manifest.txt")), "UTF-8"))
-    val files = listCsv(dir)
+  private def loadTable(spark: SparkSession, conf: Config,
+                        fs: FileSystem, dir: Path): TableReport = {
+    val table = dir.getName
+    val manifest = {
+      val in = fs.open(new Path(dir, "manifest.txt"))
+      try Manifest.parse(new String(in.readAllBytes(), "UTF-8"))
+      finally in.close()
+    }
+    val files = listCsv(fs, dir)
 
     val res = CsvSource.read(spark, manifest, s"$dir/*.csv*")
     val rejected = CsvSource.enforceRejectLimit(res, conf.rejectLimit)
@@ -102,7 +119,7 @@ object Ingest {
     val target = s"${conf.lakeDir}/$table"
     val fullRefresh = conf.fullRefreshTables.contains(table)
     val (aligned, evolvedCols) =
-      if (Files.isDirectory(Paths.get(target))) {
+      if (LakeFs.isDirectory(spark, target)) {
         val live = spark.read.option("mergeSchema", "true").parquet(target).schema
         val evolved = SchemaEvolution.evolve(live, res.valid.schema)
         val newCols = evolved.fieldNames.diff(live.fieldNames).toSeq
@@ -122,32 +139,24 @@ object Ingest {
     val loaded = deduped.count()
     if (fullRefresh) {
       // the reference's dimension class: stage-and-swap — write the new
-      // generation beside the live one, then two atomic renames. Readers
-      // never see a partially-replaced table.
-      val stage = Paths.get(target + "__stage")
-      deduped.write.mode(SaveMode.Overwrite).parquet(stage.toString)
-      val live = Paths.get(target)
-      val old = Paths.get(target + "__old")
-      if (Files.exists(live))
-        Files.move(live, old, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      Files.move(stage, live, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      def rm(p: Path): Unit = {
-        if (Files.isDirectory(p)) Files.list(p).iterator().forEachRemaining(rm)
-        Files.deleteIfExists(p)
-      }
-      rm(old)
+      // generation beside the live one, then two renames (atomic on
+      // HDFS/local; see LakeFs for the S3A caveat). Readers never see a
+      // partially-replaced table.
+      val lakeFsys = LakeFs.fs(spark, target)
+      val stage = target + "__stage"
+      deduped.write.mode(SaveMode.Overwrite).parquet(stage)
+      if (lakeFsys.exists(new Path(target)))
+        LakeFs.swap(spark, target, stage, tag = "refresh")
+      else if (!lakeFsys.rename(new Path(stage), new Path(target)))
+        throw new java.io.IOException(s"rename $stage -> $target failed")
     } else {
       deduped.write.mode(SaveMode.Append).parquet(target)
     }
 
     // Archive inputs (FS rename, driver-side — same as the reference).
-    val archive = Paths.get(conf.archiveDir, table)
-    Files.createDirectories(archive)
-    files.foreach { f =>
-      val p = Paths.get(f)
-      Files.move(p, archive.resolve(p.getFileName),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    val archive = new Path(conf.archiveDir, table)
+    fs.mkdirs(archive)
+    files.foreach(f => moveReplacing(fs, new Path(f), archive))
     TableReport(table, files, loaded, rejected, evolvedCols)
   }
 }

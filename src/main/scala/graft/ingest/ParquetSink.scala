@@ -30,27 +30,11 @@ object ParquetSink {
 
   /** Partition columns of a lake directory, detected from its Hive-style
     * `name=value` layout (the same discovery Spark itself performs).
-    * Empty for an unpartitioned lake.
+    * Empty for an unpartitioned lake. Goes through the Hadoop FileSystem
+    * API so detection works on HDFS/S3A lakes, not just local paths.
     */
-  def partitionColumns(path: String): Seq[String] = {
-    import java.nio.file.{Files, Paths}
-    @annotation.tailrec
-    def loop(dir: java.nio.file.Path, acc: Vector[String]): Vector[String] = {
-      val sub = Files.list(dir).iterator()
-      var next: Option[(java.nio.file.Path, String)] = None
-      while (next.isEmpty && sub.hasNext) {
-        val p = sub.next()
-        val n = p.getFileName.toString
-        if (Files.isDirectory(p) && n.contains("="))
-          next = Some((p, n.substring(0, n.indexOf('='))))
-      }
-      next match {
-        case Some((p, colName)) => loop(p, acc :+ colName)
-        case None               => acc
-      }
-    }
-    loop(Paths.get(path), Vector.empty)
-  }
+  def partitionColumns(spark: SparkSession, path: String): Seq[String] =
+    LakeFs.partitionColumns(spark, path)
 
   /** Compact a lake directory in place: rewrite to ~`targetPartitions`
     * files per write, PRESERVING the lake's partition layout (a flat
@@ -60,14 +44,13 @@ object ParquetSink {
     * small-file problem costs more than the data — scan tasks, NameNode
     * pressure, footer reads all scale with file count, not bytes.
     *
-    * The swap is two renames (old→bak, tmp→dst): each rename is atomic
-    * but there is a brief window with no directory at `path`; readers
-    * racing a compaction should retry, or compaction should run in a
-    * maintenance window.
+    * The swap is two Hadoop-FS renames (old→bak, tmp→dst): atomic each
+    * on HDFS/local (non-atomic copy on S3A — see LakeFs), with a brief
+    * window with no directory at `path`; readers racing a compaction
+    * should retry, or compaction should run in a maintenance window.
     */
   def compact(spark: SparkSession, path: String, targetPartitions: Int): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val partCols = partitionColumns(path)
+    val partCols = partitionColumns(spark, path)
     val tmp = path.stripSuffix("/") + "__compact_tmp"
     val df = spark.read.parquet(path)
     val writer =
@@ -75,16 +58,6 @@ object ParquetSink {
       else df.repartition(targetPartitions, partCols.map(col): _*)
         .write.partitionBy(partCols: _*)
     writer.mode(SaveMode.Overwrite).parquet(tmp)
-    val dst = Paths.get(path)
-    val bak = Paths.get(path.stripSuffix("/") + "__compact_old")
-    Files.move(dst, bak, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(tmp), dst, StandardCopyOption.ATOMIC_MOVE)
-    // best-effort cleanup of the old generation
-    def rm(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p))
-        Files.list(p).iterator().forEachRemaining(rm)
-      Files.deleteIfExists(p)
-    }
-    rm(bak)
+    LakeFs.swap(spark, path, tmp, tag = "compact")
   }
 }

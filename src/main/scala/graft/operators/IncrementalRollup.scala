@@ -28,7 +28,7 @@ object IncrementalRollup {
              rollupPath: String): DataFrame = {
     val dayCol = to_date(col(tsCol)).as("day")
     val existing: Option[DataFrame] =
-      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(rollupPath)))
+      if (graft.ingest.LakeFs.isDirectory(spark, rollupPath))
         Some(spark.read.parquet(rollupPath))
       else None
 

@@ -26,7 +26,8 @@ object Upsert {
     * frame count. */
   def intoParquet(spark: SparkSession, path: String, incoming: DataFrame,
                   keys: Seq[String], versionCol: String): Long = {
-    val exists = java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path))
+    import graft.ingest.LakeFs
+    val exists = LakeFs.isDirectory(spark, path)
     val merged =
       if (!exists) dedupLatest(incoming, keys, versionCol)
       else {
@@ -39,19 +40,12 @@ object Upsert {
     if (!exists) {
       merged.write.mode(SaveMode.Overwrite).parquet(path)
     } else {
-      // stage-and-swap (brief no-directory window between the renames —
-      // same caveat as ParquetSink.compact)
-      import java.nio.file.{Files, Paths, StandardCopyOption}
+      // stage-and-swap through the Hadoop FileSystem API (HDFS/S3A
+      // portable; brief no-directory window between the renames — see
+      // LakeFs.swap for per-store atomicity)
       val tmp = path.stripSuffix("/") + "__upsert_tmp"
       merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-      val bak = Paths.get(path.stripSuffix("/") + "__upsert_old")
-      Files.move(Paths.get(path), bak, StandardCopyOption.ATOMIC_MOVE)
-      Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
-      def rm(p: java.nio.file.Path): Unit = {
-        if (Files.isDirectory(p)) Files.list(p).iterator().forEachRemaining(rm)
-        Files.deleteIfExists(p)
-      }
-      rm(bak)
+      LakeFs.swap(spark, path, tmp, tag = "upsert")
     }
     spark.read.parquet(path).count()
   }
