@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Typed event row for the stateful operators. */
 case class GEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -78,6 +79,47 @@ object StreamOps {
           state.update(next)
           Iterator(next)
       }
+  }
+
+  /** B9 on the Spark 4.x arbitrary-state API: same per-user running
+    * aggregate as [[runningUserAggs]], expressed as a
+    * [[StatefulProcessor]] driven through `transformWithState` — the
+    * successor to flatMapGroupsWithState (typed named-state handles,
+    * timers, TTL; requires the RocksDB state store provider, which is
+    * also the provider a 100 TB deployment wants: state lives off-heap
+    * and spills to disk instead of filling executor heaps). Both
+    * variants stay side by side while the legacy API remains supported;
+    * StreamOpsSpec pins them to identical cross-batch results.
+    */
+  def runningUserAggsTws(events: Dataset[GEvent]): Dataset[UserAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningUserAggProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** transformWithState processor keeping one UserAgg per user in a
+    * named ValueState cell (no TTL: the aggregate is a forever-running
+    * total, same as the flatMapGroupsWithState twin).
+    */
+  private class RunningUserAggProcessor
+      extends StatefulProcessor[Long, GEvent, UserAgg] {
+    @transient private var agg: ValueState[UserAgg] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      agg = getHandle.getValueState[UserAgg]("agg", Encoders.product[UserAgg],
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[GEvent],
+                                 timers: TimerValues): Iterator[UserAgg] = {
+      val prev = if (agg.exists()) agg.get() else UserAgg(key, 0L, 0.0)
+      val batch = rows.toSeq
+      val next = UserAgg(key, prev.n_events + batch.size,
+        prev.total_value + batch.map(_.value).sum)
+      agg.update(next)
+      Iterator(next)
+    }
   }
 
   /** Stream-stream inner join with watermarks: each purchase matched to

@@ -127,6 +127,41 @@ class StreamOpsSpec extends SparkSpec {
     assert(last.toSeq == Seq((1L, 2L, 5.0), (2L, 1L, 5.0)))
   }
 
+  test("transformWithState keeps per-user totals across micro-batches (matches fMGWS twin)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[GEvent]
+      val q = StreamOps.runningUserAggsTws(mem.toDS())
+        .writeStream.format("memory").queryName("tws")
+        .outputMode("update").start()
+      try {
+        mem.addData(GEvent(1, t("2024-01-01 00:00:00"), 1, "click", 2.0))
+        q.processAllAvailable()
+        mem.addData(
+          GEvent(2, t("2024-01-01 00:01:00"), 1, "view", 3.0),
+          GEvent(3, t("2024-01-01 00:02:00"), 2, "click", 5.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      // cross-batch state: same assertion as the flatMapGroupsWithState twin
+      val last = spark.table("tws")
+        .groupBy("user_id").agg(max("n_events").as("n"), max("total_value").as("v"))
+        .orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(last.toSeq == Seq((1L, 2L, 5.0), (2L, 1L, 5.0)))
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-stream join matches purchases to clicks within 30 minutes") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
