@@ -85,20 +85,74 @@ object NoOracle {
   }
 
   /** B6: MinHash-LSH near-dup candidates over documents (the scale path
-    * for dedup_ngram_jaccard; recall-tested in LshSpec).
+    * for dedup_ngram_jaccard; recall-tested in LshSpec). Declared as the
+    * top-25 nearest candidate PAIRS in a total deterministic order
+    * (dist asc, then the unique pair key) — structural evidence for the
+    * rows-only check, not a single count row.
     */
   val lshTextNearDup: Q = Q.noOracle("b6_lsh_text_near_dup") { (s, d) =>
     graft.ml.Lsh.textNearDupPairs(s, T.documents(s, d),
         maxJaccardDistance = 0.4, numHashTables = 2)
-      .agg(count(lit(1)).as("n_candidate_pairs"),
-        round(avg(col("dist")), 3).as("mean_dist"))
+      .select(col("a"), col("b"), round(col("dist"), 6).as("jaccard_dist"))
+      .orderBy(col("jaccard_dist").asc_nulls_first,
+        col("a").asc_nulls_first, col("b").asc_nulls_first)
+      .limit(25)
   }
 
-  /** B6: random-projection LSH near neighbors over embeddings. */
+  /** B6: random-projection LSH near neighbors over embeddings — top-25
+    * nearest candidate pairs, same deterministic ordering contract as
+    * the text twin.
+    */
   val lshEmbeddingNear: Q = Q.noOracle("b6_lsh_embedding_near") { (s, d) =>
     graft.ml.Lsh.embeddingNearPairs(s, T.embeddings(s, d),
         maxL2Distance = 10.0, numHashTables = 2)
-      .agg(count(lit(1)).as("n_near_pairs"))
+      .select(col("a"), col("b"), round(col("dist"), 6).as("l2_dist"))
+      .orderBy(col("l2_dist").asc_nulls_first,
+        col("a").asc_nulls_first, col("b").asc_nulls_first)
+      .limit(25)
+  }
+
+  /** B1 surfaced as a declared row (VERDICT r2 stretch): the reference's
+    * actual job — CSV in, typed rows out, malformed rows quarantined,
+    * not fatal. A fixed 11-line fixture (8 parseable, 3 malformed:
+    * non-numeric key, non-numeric value, broken quoting) is written at
+    * setup, read through CsvSource's PERMISSIVE reject split, and
+    * emitted as one row per input line tagged valid/reject — so the
+    * rows-only check sees the split's structure, and the reject COUNT
+    * is deterministic by construction.
+    */
+  val csvRejects: Q = Q.noOracle("b1_csv_rejects") { (s, _) =>
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_b1_fixture")
+    java.nio.file.Files.createDirectories(dir)
+    val fixture =
+      """id,metric,m_value
+        |1,cpu,0.5
+        |2,mem,0.7
+        |3,cpu,0.9
+        |4,disk,0.1
+        |5,mem,0.2
+        |6,cpu,0.4
+        |7,disk,0.8
+        |8,mem,0.6
+        |not-a-number,cpu,1.0
+        |9,cpu,abc
+        |10,"unterminated quote, boom""".stripMargin
+    java.nio.file.Files.write(dir.resolve("batch.csv"),
+      fixture.getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("metric", StringType),
+      StructField("m_value", DoubleType)))
+    val res = graft.ingest.CsvSource.read(s, schema, dir.toString)
+    res.valid
+      .select(lit("valid").as("kind"), col("id").cast("string").as("key"),
+        col("metric").as("payload"))
+      .unionByName(res.rejects
+        .select(lit("reject").as("kind"), lit(null).cast("string").as("key"),
+          col("raw_line").as("payload")))
+      .orderBy(col("kind").asc_nulls_first, col("key").cast("long").asc_nulls_first,
+        col("payload").asc_nulls_first)
   }
 
   /** B12: registered Scala UDF exercised through SQL. */
@@ -179,6 +233,7 @@ object NoOracle {
 
   val all: Seq[Q] = Seq(
     approxDistinct, approxPercentile, countMin, approxTopK, sampleSeeded,
-    lshTextNearDup, lshEmbeddingNear, udfSurface, multimodalFeatures,
-    multimodalFrames, streamStateBatchRun, streamTransformBatchRun)
+    lshTextNearDup, lshEmbeddingNear, csvRejects, udfSurface,
+    multimodalFeatures, multimodalFrames, streamStateBatchRun,
+    streamTransformBatchRun)
 }
