@@ -221,39 +221,42 @@ object LlmOpsExt {
       |ORDER BY actual NULLS FIRST, predicted NULLS FIRST""".stripMargin
   ) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val docTg = T.documents(s, d)
+    // ONE trigram-extraction pass, materialized at the EXPLODED
+    // granularity — (doc_id, lang, g) rows store compactly (~20 MB at
+    // sf0.1), unlike the per-doc trigram ARRAYS the r2 cache held —
+    // then both the profile build and the prediction consume the cached
+    // blocks. Eviction at 100 TB costs one recomputed map-only pass
+    // (measured: localCheckpoint's forced materialization is slower
+    // here than cache's, and the cached frame is small enough to stay
+    // resident).
+    val tg = T.documents(s, d)
       // lower(text) ONCE per row as its own column — inside the lambda it
       // would re-lowercase (copy) the whole doc per trigram, O(len²)/doc
       .select(col("doc_id"), col("lang"), lower(col("text")).as("lt"))
       .select(col("doc_id"), col("lang"),
-        array_distinct(expr(
+        explode(array_distinct(expr(
           """transform(sequence(1, greatest(length(lt) - 2, 0)),
-             i -> substring(lt, i, 3))""")).as("tgs"))
-      // feeds both the profile build and the prediction branch; cache so
-      // the per-char substring explode-equivalent runs once
+             i -> substring(lt, i, 3))"""))).as("g"))
       .cache()
     val wProfile = Window.partitionBy(col("lang"))
       .orderBy(col("cnt").desc, col("g").asc)
-    val profile = docTg
-      .select(col("lang"), explode(col("tgs")).as("g"))
+    val profile = tg
       .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("cnt"))
       .withColumn("rn", row_number().over(wProfile))
       .filter(col("rn") <= 20)
-      .groupBy(col("lang")).agg(collect_set(col("g")).as("profile_tgs"))
-      .select(col("lang").as("cand"), col("profile_tgs"))
-    // overlap via broadcast array_intersect against the 5 profile rows:
-    // identical to the oracle's tg⋈profile inner join (overlap > 0 ⇔ a
-    // join row exists; intersect counts distinct matches, and both doc
-    // trigrams and profile entries are distinct), with no 1.5M-row
-    // shuffle on the overlap side.
-    val wPred = Window.partitionBy(col("doc_id"))
-      .orderBy(col("n").desc, col("cand").asc)
-    docTg.crossJoin(broadcast(profile))
-      .withColumn("n", size(array_intersect(col("tgs"), col("profile_tgs"))))
-      .filter(col("n") > 0)
-      .withColumn("rn", row_number().over(wPred))
-      .filter(col("rn") === 1)
-      .groupBy(col("lang").as("actual"), col("cand").as("predicted"))
+      .select(col("lang").as("cand"), col("g").as("pg"))
+    // prediction = the oracle's tg⋈profile inner join, literally: equi-
+    // join on the trigram against the ≤100 broadcast profile rows, count
+    // matches per (doc, candidate), then an aggregation-shaped argmax —
+    // min_by over (-n, cand) ≡ row_number over (n DESC, cand ASC) = 1 —
+    // so the per-doc ranking partial-aggregates map-side instead of
+    // shuffling every (doc, candidate) row through a window.
+    tg.join(broadcast(profile), col("g") === col("pg"))
+      .groupBy(col("doc_id"), col("lang"), col("cand"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(min_by(col("cand"), struct(-col("n"), col("cand"))).as("predicted"))
+      .groupBy(col("lang").as("actual"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("actual").asc_nulls_first, col("predicted").asc_nulls_first)
   }

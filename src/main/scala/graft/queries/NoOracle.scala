@@ -104,8 +104,12 @@ object NoOracle {
     * the text twin.
     */
   val lshEmbeddingNear: Q = Q.noOracle("b6_lsh_embedding_near") { (s, d) =>
+    // threshold 1.2 sits in the lower tail of the corpus' pair-distance
+    // distribution (~1.5k qualifying pairs at sf0.01, ~24k at sf0.1) —
+    // a NEAR-pair filter that actually prunes; the former 10.0 admitted
+    // every pair in the corpus and made the join emit n² rows
     graft.ml.Lsh.embeddingNearPairs(s, T.embeddings(s, d),
-        maxL2Distance = 10.0, numHashTables = 2)
+        maxL2Distance = 1.2, numHashTables = 2)
       .select(col("a"), col("b"), round(col("dist"), 6).as("l2_dist"))
       .orderBy(col("l2_dist").asc_nulls_first,
         col("a").asc_nulls_first, col("b").asc_nulls_first)

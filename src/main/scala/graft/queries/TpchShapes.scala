@@ -115,7 +115,20 @@ object TpchShapes {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name NULLS FIRST""".stripMargin
   ) { (s, d) =>
+    // Join order puts BOTH selective filters ahead of the big shuffles:
+    // region('ASIA')⋈nation collapses to a 5-row broadcast that prunes
+    // customer to 1/5 before it ever meets orders, and the date filter
+    // prunes orders at the scan. The two remaining SMJs (custkey,
+    // orderkey) then shuffle only qualifying rows. Supplier carries no
+    // broadcast hint on purpose: at this SF the planner broadcasts it
+    // from parquet stats, at 100 TB AQE decides from the runtime size —
+    // the adaptive choice, not a hard-coded one.
+    val asiaNations = T.nation(s, d)
+      .join(broadcast(T.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
     T.customer(s, d)
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
       .join(T.orders(s, d)
           .filter(col("o_orderdate") >= lit("1996-01-01").cast("date")
             && col("o_orderdate") < lit("1997-01-01").cast("date")),
@@ -124,9 +137,6 @@ object TpchShapes {
       .join(T.supplier(s, d),
         col("l_suppkey") === col("s_suppkey")
           && col("c_nationkey") === col("s_nationkey"))
-      .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(T.region(s, d).filter(col("r_name") === "ASIA")),
-        col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
       .agg(sum(T.dec2(col("l_extendedprice"))
         * (lit(1) - T.dec4(col("l_discount")))).as("revenue"))
