@@ -14,9 +14,9 @@ import org.apache.spark.sql.functions._
   * Scale posture: the merge itself is one shuffle on the key
   * (row_number over key, incoming rows ranked above existing — no
   * driver-side state, no collect). The rewrite cost is the lake, which
-  * is why real 100 TB lakes pair this with partition pruning: when
-  * `partitionFilter` is given, only matching partitions are read,
-  * merged, and replaced; untouched data is never rewritten.
+  * is why real 100 TB lakes use [[intoPartitionedParquet]]: only the
+  * partitions the incoming batch touches are read, merged, and
+  * swapped; untouched partitions are never rewritten (or even read).
   */
 object Upsert {
 
@@ -46,6 +46,54 @@ object Upsert {
       val tmp = path.stripSuffix("/") + "__upsert_tmp"
       merged.write.mode(SaveMode.Overwrite).parquet(tmp)
       LakeFs.swap(spark, path, tmp, tag = "upsert")
+    }
+    spark.read.parquet(path).count()
+  }
+
+  /** Partition-scoped MERGE into a Hive-layout lake partitioned by
+    * `partCol`: only partitions present in `incoming` are read, merged
+    * (same latest-wins semantics as [[intoParquet]]), and swapped —
+    * the 100 TB upsert path, where a daily batch touching 3 days of a
+    * 5-year lake rewrites 3 partition directories, not the lake.
+    *
+    * The touched-partition list is collected to the driver: it is
+    * bounded by the batch's distinct partition values (days, not rows).
+    * Each touched partition directory is swapped independently via
+    * Hadoop-FS renames, so an untouched partition is never without its
+    * directory; a reader racing the swap of a touched partition sees
+    * old-or-new, per partition.
+    */
+  def intoPartitionedParquet(spark: SparkSession, path: String, incoming: DataFrame,
+                             keys: Seq[String], versionCol: String,
+                             partCol: String): Long = {
+    import graft.ingest.LakeFs
+    import org.apache.hadoop.fs.Path
+    if (!LakeFs.isDirectory(spark, path)) {
+      dedupLatest(incoming, keys, versionCol)
+        .write.partitionBy(partCol).mode(SaveMode.Overwrite).parquet(path)
+    } else {
+      val touched = incoming.select(col(partCol)).distinct().collect()
+        .map(_.get(0)).filter(_ != null)
+      val existingScoped = spark.read.parquet(path)
+        .filter(col(partCol).isin(touched.toIndexedSeq: _*))
+      val merged = dedupLatest(
+        existingScoped.withColumn("graft_src", lit(0))
+          .unionByName(incoming.withColumn("graft_src", lit(1))
+            .select(existingScoped.columns.map(col).toIndexedSeq :+ col("graft_src"): _*)),
+        keys, versionCol, srcCol = Some("graft_src"))
+        .drop("graft_src")
+      val tmp = path.stripSuffix("/") + "__upsert_parts_tmp"
+      merged.write.partitionBy(partCol).mode(SaveMode.Overwrite).parquet(tmp)
+      val fs = LakeFs.fs(spark, path)
+      touched.foreach { v =>
+        val part = s"$partCol=$v"
+        val dst = new Path(path.stripSuffix("/"), part)
+        val src = new Path(tmp, part)
+        if (fs.exists(dst)) fs.delete(dst, true)
+        if (fs.exists(src) && !fs.rename(src, dst))
+          throw new java.io.IOException(s"partition swap $src -> $dst failed")
+      }
+      fs.delete(new Path(tmp), true)
     }
     spark.read.parquet(path).count()
   }

@@ -143,5 +143,94 @@ object TpchShapes {
       .orderBy(col("revenue").desc, col("n_name").asc_nulls_first)
   }
 
-  val all: Seq[Q] = Seq(tpchQ1, tpchQ3, tpchQ5)
+  /** Q7: volume shipping between two nations by ship year — the
+    * bidirectional 6-table join. Both nation filters are pushed INTO
+    * supplier and customer through 2-row broadcasts before the
+    * lineitem/orders shuffles, so the big joins only move rows that can
+    * still qualify; the OR of the two direction pairs filters after
+    * both sides are labeled.
+    */
+  val tpchQ7: Q = Q(
+    "tpch_q7",
+    """SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |         CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume
+      |  FROM supplier
+      |  JOIN lineitem ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |    AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+      |) shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation NULLS FIRST, cust_nation NULLS FIRST, l_year NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val nat = T.nation(s, d).filter(col("n_name").isin("NATION_1", "NATION_2"))
+    val supp = T.supplier(s, d)
+      .join(broadcast(nat.select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("s_nk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cust = T.customer(s, d)
+      .join(broadcast(nat.select(col("n_nationkey").as("c_nk"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("c_nk"))
+      .select(col("c_custkey"), col("cust_nation"))
+    T.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date")
+        && col("l_shipdate") < lit("1998-01-01").cast("date"))
+      .join(supp, col("s_suppkey") === col("l_suppkey"))
+      .join(T.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(cust, col("c_custkey") === col("o_custkey"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
+        || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(T.dec2(col("l_extendedprice"))
+        * (lit(1) - T.dec4(col("l_discount")))).as("revenue"))
+      .orderBy(col("supp_nation").asc_nulls_first, col("cust_nation").asc_nulls_first,
+        col("l_year").asc_nulls_first)
+  }
+
+  /** Q10: returned-item reporting — top-20 customers by revenue lost to
+    * returns in one quarter. Both selective predicates (order-date
+    * window, returnflag = 'R') are pushed to their scans; nation is a
+    * broadcast.
+    */
+  val tpchQ10: Q = Q(
+    "tpch_q10",
+    """SELECT c_custkey, c_name,
+      |       sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS revenue,
+      |       n_name
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |              JOIN lineitem ON l_orderkey = o_orderkey
+      |              JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey NULLS FIRST
+      |LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    T.customer(s, d)
+      .join(T.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("date")
+            && col("o_orderdate") < lit("1996-04-01").cast("date")),
+        col("c_custkey") === col("o_custkey"))
+      .join(T.lineitem(s, d).filter(col("l_returnflag") === "R"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(T.dec2(col("l_extendedprice"))
+        * (lit(1) - T.dec4(col("l_discount")))).as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc_nulls_first)
+      .limit(20)
+  }
+
+  val all: Seq[Q] = Seq(tpchQ1, tpchQ3, tpchQ5, tpchQ7, tpchQ10)
 }

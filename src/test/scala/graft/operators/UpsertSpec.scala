@@ -63,6 +63,43 @@ class UpsertSpec extends SparkSpec {
     }
   }
 
+  test("partition-scoped upsert rewrites ONLY the touched partitions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_upsert_part").toString + "/t"
+    val base = Seq(
+      (1L, "a", 1, 10), (2L, "b", 1, 10),
+      (3L, "c", 2, 10), (4L, "d", 2, 10),
+      (5L, "e", 3, 10))
+      .toDF("id", "payload", "day", "version")
+    Upsert.intoPartitionedParquet(spark, dir, base, Seq("id"), "version", "day")
+
+    // record the physical files of every partition before the merge
+    def filesOf(day: Int): Set[String] = {
+      val p = java.nio.file.Paths.get(dir, s"day=$day")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(p).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+    }
+    val day1Before = filesOf(1)
+    val day3Before = filesOf(3)
+
+    // batch touches only day 2 (update id=3, insert id=6)
+    val delta = Seq((3L, "c2", 2, 11), (6L, "f", 2, 11))
+      .toDF("id", "payload", "day", "version")
+    val n = Upsert.intoPartitionedParquet(spark, dir, delta, Seq("id"), "version", "day")
+    assert(n == 6)
+
+    // untouched partitions keep their exact files — never rewritten
+    assert(filesOf(1) == day1Before, "day=1 was rewritten")
+    assert(filesOf(3) == day3Before, "day=3 was rewritten")
+
+    val out = spark.read.parquet(dir).orderBy("id")
+      .select("id", "payload", "version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(out == Seq((1L, "a", 10), (2L, "b", 10), (3L, "c2", 11),
+      (4L, "d", 10), (5L, "e", 10), (6L, "f", 11)))
+  }
+
   test("upsert result equals a reference merge over a real table slice") {
     val dir = Files.createTempDirectory("graft_upsert3").toString + "/t"
     val o = T.orders(spark, sf())
