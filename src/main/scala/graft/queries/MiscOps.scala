@@ -198,7 +198,36 @@ object MiscOps {
       .limit(200)
   }
 
+  /** Deterministic MODE (most frequent value) per group. Neither
+    * engine's native mode() pins tie-breaks, so both sides compute it
+    * the same way: count per value, then argmax with ties to the
+    * SMALLEST value — Spark as a partial-aggregable min_by over
+    * (−count, value), DuckDB as the equivalent window argmax.
+    */
+  val aggMode: Q = Q(
+    "agg_mode",
+    """SELECT o_orderpriority, mode_status, n_status FROM (
+      |  SELECT o_orderpriority, o_orderstatus AS mode_status, count(*) AS n_status,
+      |         row_number() OVER (PARTITION BY o_orderpriority
+      |                            ORDER BY count(*) DESC, o_orderstatus ASC) AS rn
+      |  FROM orders
+      |  GROUP BY o_orderpriority, o_orderstatus
+      |) WHERE rn = 1
+      |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    T.orders(s, d)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        min_by(col("o_orderstatus"), struct(-col("n"), col("o_orderstatus")))
+          .as("mode_status"),
+        max(col("n")).as("n_max"))
+      .select(col("o_orderpriority"), col("mode_status"), col("n_max").as("n_status"))
+      .orderBy(col("o_orderpriority").asc_nulls_first)
+  }
+
   val all: Seq[Q] = Seq(
     fnBitwise, fnHash, aggBool, aggMinmaxBy, setIntersectAll, setExceptAll,
-    fnStruct, fnEpoch, fnFormat)
+    fnStruct, fnEpoch, fnFormat, aggMode)
 }

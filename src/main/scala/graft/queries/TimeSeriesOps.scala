@@ -97,5 +97,58 @@ object TimeSeriesOps {
       .orderBy(col("event_type").asc_nulls_first, col("h").asc_nulls_first)
   }
 
-  val all: Seq[Q] = Seq(tsGapfillLocf, tsOhlc)
+  /** SCD Type-2 interval history as a pure query (the declared twin of
+    * graft.operators.Scd2): per-user change-point detection over the
+    * event stream — a generation opens when event_type differs from the
+    * previous row (gaps-and-islands: null-safe lag compare, running sum
+    * of change flags), closes at the next generation's valid_from
+    * (NULL = still open). Users < 10 keep the output bounded and
+    * deterministic; (ts, event_id) is the total order (D4).
+    */
+  val scd2Intervals: Q = Q(
+    "scd2_intervals",
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, event_type FROM events WHERE user_id < 10
+      |), marked AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                   IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      |  FROM e
+      |), gens AS (
+      |  SELECT user_id, ts, event_type,
+      |         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS gen
+      |  FROM marked
+      |), intervals AS (
+      |  SELECT user_id, gen, min(event_type) AS event_type, min(ts) AS valid_from,
+      |         count(*) AS n_events
+      |  FROM gens GROUP BY 1, 2
+      |)
+      |SELECT user_id, event_type, valid_from,
+      |       lead(valid_from) OVER (PARTITION BY user_id ORDER BY gen) AS valid_to,
+      |       n_events
+      |FROM intervals
+      |ORDER BY user_id NULLS FIRST, valid_from NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val wOrder = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val marked = T.events(s, d)
+      .filter(col("user_id") < 10)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("chg",
+        when(!(lag(col("event_type"), 1).over(wOrder) <=> col("event_type")), 1)
+          .otherwise(0))
+    val gens = marked
+      .withColumn("gen", sum(col("chg"))
+        .over(wOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val intervals = gens.groupBy(col("user_id"), col("gen"))
+      .agg(min(col("event_type")).as("event_type"),
+        min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+    val wGen = Window.partitionBy(col("user_id")).orderBy(col("gen").asc)
+    intervals
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        lead(col("valid_from"), 1).over(wGen).as("valid_to"), col("n_events"))
+      .orderBy(col("user_id").asc_nulls_first, col("valid_from").asc_nulls_first)
+  }
+
+  val all: Seq[Q] = Seq(tsGapfillLocf, tsOhlc, scd2Intervals)
 }
