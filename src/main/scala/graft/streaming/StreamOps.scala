@@ -122,6 +122,25 @@ object StreamOps {
     }
   }
 
+  /** Streaming MERGE sink (the CDC pattern): each micro-batch is
+    * upserted into a keyed parquet lake through foreachBatch +
+    * graft.operators.Upsert — new keys insert, existing keys take the
+    * batch's row (latest version wins within the batch). foreachBatch
+    * is the bridge between exactly-once streaming semantics and a
+    * batch-only sink: the checkpoint replays an unacknowledged batch,
+    * and the upsert is idempotent per (key, version), so replays
+    * converge instead of duplicating.
+    */
+  def upsertSink(df: DataFrame, path: String, keys: Seq[String],
+                 versionCol: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Upsert.intoParquet(
+          batch.sparkSession, path, batch.toDF(), keys, versionCol)
+        ()
+      }
+
   /** Stream-stream inner join with watermarks: each purchase matched to
     * clicks by the same user within the preceding 30 minutes. Both
     * sides watermarked so join state is evicted once the range can no

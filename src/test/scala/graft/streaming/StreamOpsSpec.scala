@@ -162,6 +162,26 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming upsert sink merges micro-batches into the lake (CDC pattern)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_upsert").toString + "/t"
+    val mem = MemoryStream[(Long, String, Int)]
+    val q = StreamOps.upsertSink(
+        mem.toDF().toDF("id", "payload", "version"), dir, Seq("id"), "version")
+      .start()
+    try {
+      mem.addData((1L, "a", 1), (2L, "b", 1))
+      q.processAllAvailable()
+      // second batch: update id=2, insert id=3
+      mem.addData((2L, "b2", 2), (3L, "c", 1))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(out == Seq((1L, "a", 1), (2L, "b2", 2), (3L, "c", 1)))
+  }
+
   test("stream-stream join matches purchases to clicks within 30 minutes") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
