@@ -264,8 +264,49 @@ object Joins {
         |ORDER BY c_custkey ASC NULLS FIRST, o_totalprice DESC, o_orderkey ASC NULLS FIRST""".stripMargin)
   }
 
+  /** PURE range join (no equi key) at the scale shape: every lineitem
+    * matched to the 7-day windows opened by the first 200 orders, by
+    * ship date alone. The naive plan is a nested-loop over n×200; the
+    * scale plan BINS time into weeks — each interval explodes to the
+    * week bins it overlaps (≤ 2 for a 7-day window), each point keys to
+    * its one bin, and the join becomes an EQUI-join on the bin followed
+    * by the exact range filter. A matching pair shares exactly the
+    * point's single bin, so no dedup is needed. The oracle is the plain
+    * theta join — binning is plan shape, not semantics.
+    */
+  val joinRangeBinned: Q = Q(
+    "join_range_binned",
+    """SELECT o_orderpriority, count(*) AS n,
+      |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      |FROM lineitem
+      |JOIN (SELECT o_orderpriority, o_orderdate,
+      |             o_orderdate + INTERVAL 7 DAY AS o_end
+      |      FROM orders WHERE o_orderkey <= 200) iv
+      |  ON l_shipdate >= o_orderdate AND l_shipdate < o_end
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    def weekBin(c: org.apache.spark.sql.Column) =
+      floor(datediff(c, lit("1970-01-01").cast("date")) / 7)
+    val iv = T.orders(s, d).filter(col("o_orderkey") <= 200)
+      .select(col("o_orderpriority"), col("o_orderdate"),
+        (col("o_orderdate") + expr("INTERVAL 7 DAY")).as("o_end"))
+      .select(col("o_orderpriority"), col("o_orderdate"), col("o_end"),
+        explode(sequence(weekBin(col("o_orderdate")), weekBin(col("o_end")))).as("bin"))
+    T.lineitem(s, d)
+      .select(col("l_shipdate"), col("l_quantity"),
+        weekBin(col("l_shipdate")).as("pbin"))
+      .join(broadcast(iv),
+        col("pbin") === col("bin")
+          && col("l_shipdate") >= col("o_orderdate")
+          && col("l_shipdate") < col("o_end"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(T.dec2(col("l_quantity"))).as("qty"))
+      .orderBy(col("o_orderpriority").asc_nulls_first)
+  }
+
   val all: Seq[Q] = Seq(
     joinInnerEqui, joinBroadcast, joinLeftOuter, joinFullOuter,
     joinSemi, joinAnti, joinThetaRange, joinAsof, joinCrossSmall,
-    joinSkewSalted, joinLateral)
+    joinSkewSalted, joinLateral, joinRangeBinned)
 }
