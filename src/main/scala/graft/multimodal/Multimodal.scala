@@ -1,21 +1,25 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal columns (driver mandate): image/audio/video as opaque
   * BINARY columns with typed metadata, processed by per-partition
   * batch-shaped functions.
   *
-  * The actual codec work (JPEG decode, PCM resample, H.264 frame
-  * extraction) is STUBBED — no media libraries exist in this
-  * environment — behind `FakeCodec`, a deterministic stand-in with the
-  * same signature a real decoder would have. Everything Spark-side is
-  * real and tested: the schema, the binary column handling, the
-  * mapPartitions batch shape (one codec init per PARTITION, not per
-  * row — exactly how a JNI/ffmpeg handle must be scoped on executors),
-  * and the explode-to-frames layout.
+  * Codec status by kind:
+  *  - image: REAL — uncompressed 24-bit BMP, written and parsed by
+  *    [[PureCodecs]] (pure JVM, no media libraries needed): header
+  *    decode, bottom-up padded BGR pixel rows, nearest-neighbor
+  *    resampling, luminance features.
+  *  - audio: REAL — RIFF/WAVE PCM16, written and parsed by
+  *    [[PureCodecs]]: chunk walk, sample decode, RMS/zero-crossing/
+  *    amplitude-histogram features.
+  *  - video: STUB — H.264/VP9 genuinely need native codecs that don't
+  *    exist in this environment; [[FakeCodec]] keeps the deterministic
+  *    stand-in with the same signature, and the Spark-side shape
+  *    (mapPartitions batch decode, one codec init per PARTITION, the
+  *    explode-to-frames layout) is real and tested.
   */
 object Multimodal {
 
@@ -38,7 +42,210 @@ object Multimodal {
                                 feature: Array[Float])
   final case class Frame(asset_id: Long, frame_idx: Int, content: Array[Byte])
 
-  /** STUB — deterministic stand-in for a real media codec. A production
+  /** REAL pure-JVM codecs for the two formats that need no native
+    * libraries: uncompressed 24-bit BMP and RIFF/WAVE PCM16. Every
+    * byte written here round-trips through the parser, and the parsers
+    * accept any conformant file of these profiles, not just our own
+    * output.
+    */
+  object PureCodecs {
+
+    // ---- little-endian helpers -------------------------------------
+    private def le16(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    private def le32(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    private def rd16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    private def rd32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+        ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+
+    // ---- BMP (24-bit uncompressed, BITMAPINFOHEADER) ----------------
+
+    /** Encode RGB pixels (row-major, top-down, 0xRRGGBB) as a 24-bit
+      * BMP: 14-byte file header + 40-byte info header + bottom-up
+      * 4-byte-padded BGR rows.
+      */
+    def writeBmp(width: Int, height: Int, rgb: Array[Int]): Array[Byte] = {
+      require(rgb.length == width * height, "pixel count mismatch")
+      val rowBytes = width * 3
+      val pad = (4 - rowBytes % 4) % 4
+      val imageSize = (rowBytes + pad) * height
+      val out = new java.io.ByteArrayOutputStream(54 + imageSize)
+      out.write('B'); out.write('M')
+      out.write(le32(54 + imageSize)); out.write(le32(0)); out.write(le32(54))
+      out.write(le32(40)); out.write(le32(width)); out.write(le32(height))
+      out.write(le16(1)); out.write(le16(24)); out.write(le32(0))
+      out.write(le32(imageSize)); out.write(le32(2835)); out.write(le32(2835))
+      out.write(le32(0)); out.write(le32(0))
+      var y = height - 1 // bottom-up
+      while (y >= 0) {
+        var x = 0
+        while (x < width) {
+          val p = rgb(y * width + x)
+          out.write(p & 0xFF); out.write((p >> 8) & 0xFF); out.write((p >> 16) & 0xFF)
+          x += 1
+        }
+        var i = 0
+        while (i < pad) { out.write(0); i += 1 }
+        y -= 1
+      }
+      out.toByteArray
+    }
+
+    /** Decode a 24-bit uncompressed BMP to (width, height, top-down
+      * row-major 0xRRGGBB pixels). Throws on other profiles.
+      */
+    def parseBmp(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+      require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M', "not a BMP")
+      val dataOffset = rd32(bytes, 10)
+      val width = rd32(bytes, 18)
+      val height = rd32(bytes, 22)
+      require(rd16(bytes, 28) == 24, "only 24-bit BMP supported")
+      require(rd32(bytes, 30) == 0, "only uncompressed BMP supported")
+      val rowBytes = width * 3
+      val pad = (4 - rowBytes % 4) % 4
+      val rgb = new Array[Int](width * height)
+      var y = 0
+      while (y < height) {
+        val rowStart = dataOffset + (height - 1 - y) * (rowBytes + pad)
+        var x = 0
+        while (x < width) {
+          val o = rowStart + x * 3
+          rgb(y * width + x) =
+            ((bytes(o + 2) & 0xFF) << 16) | ((bytes(o + 1) & 0xFF) << 8) | (bytes(o) & 0xFF)
+          x += 1
+        }
+        y += 1
+      }
+      (width, height, rgb)
+    }
+
+    /** Nearest-neighbor downsample by an integer factor — a REAL pixel
+      * resample producing a valid BMP of the new dimensions.
+      */
+    def resizeBmp(bytes: Array[Byte], factor: Int): Array[Byte] = {
+      val (w, h, rgb) = parseBmp(bytes)
+      val nw = math.max(1, w / factor)
+      val nh = math.max(1, h / factor)
+      val out = new Array[Int](nw * nh)
+      var y = 0
+      while (y < nh) {
+        var x = 0
+        while (x < nw) {
+          out(y * nw + x) = rgb((y * factor) * w + (x * factor))
+          x += 1
+        }
+        y += 1
+      }
+      writeBmp(nw, nh, out)
+    }
+
+    /** Image features from a decoded BMP: mean luminance, bright-pixel
+      * fraction, then a (dim−2)-bin luminance histogram. Rec.601 luma
+      * in integer arithmetic — fully deterministic.
+      */
+    def bmpFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val (_, _, rgb) = parseBmp(bytes)
+      val f = new Array[Float](dim)
+      val bins = dim - 2
+      var lumaSum = 0L
+      var bright = 0
+      rgb.foreach { p =>
+        val luma = ((p >> 16 & 0xFF) * 299 + (p >> 8 & 0xFF) * 587 + (p & 0xFF) * 114) / 1000
+        lumaSum += luma
+        if (luma > 127) bright += 1
+        f(2 + luma * bins / 256) += 1f
+      }
+      val n = math.max(1, rgb.length)
+      f(0) = lumaSum.toFloat / n / 255f
+      f(1) = bright.toFloat / n
+      var i = 2
+      while (i < dim) { f(i) /= n; i += 1 }
+      f
+    }
+
+    // ---- WAV (RIFF/WAVE, PCM16) -------------------------------------
+
+    /** Encode mono PCM16 samples as a canonical 44-byte-header WAV. */
+    def writeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      val dataSize = samples.length * 2
+      val out = new java.io.ByteArrayOutputStream(44 + dataSize)
+      out.write("RIFF".getBytes("US-ASCII")); out.write(le32(36 + dataSize))
+      out.write("WAVE".getBytes("US-ASCII"))
+      out.write("fmt ".getBytes("US-ASCII")); out.write(le32(16))
+      out.write(le16(1)); out.write(le16(1)) // PCM, mono
+      out.write(le32(sampleRate)); out.write(le32(sampleRate * 2))
+      out.write(le16(2)); out.write(le16(16))
+      out.write("data".getBytes("US-ASCII")); out.write(le32(dataSize))
+      samples.foreach(s => out.write(le16(s & 0xFFFF)))
+      out.toByteArray
+    }
+
+    /** Decode a PCM16 WAV by walking its RIFF chunks (tolerates extra
+      * chunks like LIST before data). Returns (sampleRate, channels,
+      * samples interleaved).
+      */
+    def parseWav(bytes: Array[Byte]): (Int, Int, Array[Short]) = {
+      require(bytes.length >= 12 &&
+        new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(bytes, 8, 4, "US-ASCII") == "WAVE", "not a WAV")
+      var o = 12
+      var sampleRate = 0
+      var channels = 0
+      var samples: Array[Short] = null
+      while (o + 8 <= bytes.length && (sampleRate == 0 || samples == null)) {
+        val id = new String(bytes, o, 4, "US-ASCII")
+        val size = rd32(bytes, o + 4)
+        id match {
+          case "fmt " =>
+            require(rd16(bytes, o + 8) == 1, "only PCM supported")
+            channels = rd16(bytes, o + 10)
+            sampleRate = rd32(bytes, o + 12)
+            require(rd16(bytes, o + 22) == 16, "only 16-bit supported")
+          case "data" =>
+            val n = size / 2
+            samples = new Array[Short](n)
+            var i = 0
+            while (i < n) { samples(i) = rd16(bytes, o + 8 + i * 2).toShort; i += 1 }
+          case _ => // skip unknown chunk
+        }
+        o += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      require(sampleRate > 0 && samples != null, "missing fmt/data chunk")
+      (sampleRate, channels, samples)
+    }
+
+    /** Audio features from decoded PCM: RMS level, zero-crossing rate,
+      * then a (dim−2)-bin |amplitude| histogram.
+      */
+    def wavFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val (_, _, samples) = parseWav(bytes)
+      val f = new Array[Float](dim)
+      val bins = dim - 2
+      var sumSq = 0.0
+      var crossings = 0
+      var i = 0
+      while (i < samples.length) {
+        val s = samples(i).toInt
+        sumSq += s.toDouble * s
+        if (i > 0 && ((s >= 0) != (samples(i - 1) >= 0))) crossings += 1
+        f(2 + math.min(bins - 1, math.abs(s) * bins / 32768)) += 1f
+        i += 1
+      }
+      val n = math.max(1, samples.length)
+      f(0) = (math.sqrt(sumSq / n) / 32768.0).toFloat
+      f(1) = crossings.toFloat / n
+      var j = 2
+      while (j < dim) { f(j) /= n; j += 1 }
+      f
+    }
+  }
+
+  /** STUB — deterministic stand-in for the video codec only (image and
+    * audio now decode for real through [[PureCodecs]]). A production
     * deployment replaces this object (alone) with JNI/ffmpeg bindings;
     * nothing else changes.
     */
@@ -50,40 +257,70 @@ object Multimodal {
       val n = math.max(1, if (bytes == null) 0 else bytes.length)
       hist.map(_ / n)
     }
-    /** "Resize": keep every k-th byte — stands in for pixel resampling. */
-    def resize(bytes: Array[Byte], k: Int): Array[Byte] =
-      if (bytes == null) null
-      else bytes.zipWithIndex.collect { case (b, i) if i % k == 0 => b }
     /** "Extract" frame i of a video payload (fixed-stride slice). */
     def frame(bytes: Array[Byte], i: Int, frameSize: Int = 64): Array[Byte] =
       if (bytes == null) Array.empty
       else bytes.slice(i * frameSize, (i + 1) * frameSize)
   }
 
+  private def md5Payload(id: Long, reps: Int): Array[Byte] = {
+    val one = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    Array.fill(reps)(one).flatten
+  }
+
   /** Deterministic synthetic asset table derived from a numeric id
-    * column — payload bytes from repeated md5, metadata by kind.
+    * column. Image and audio payloads are REAL files (24-bit BMP /
+    * PCM16 WAV) generated from integer arithmetic on the id; video
+    * keeps the md5-byte stub payload. Metadata mirrors the actual
+    * encoded headers.
     */
-  def syntheticAssets(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame =
-    ids.select(
-      col(idCol).cast("long").as("asset_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col(idCol) % 3 + 1).cast("int")).as("kind"),
-      unbase64(base64(repeat(unhex(md5(col(idCol).cast("string"))), 8))).as("content"))
-      .withColumn("meta", struct(
-        when(col("kind") === "image", lit(32)).cast("int").as("width"),
-        when(col("kind") === "image", lit(32)).cast("int").as("height"),
-        when(col("kind") === "audio", lit(16000)).cast("int").as("sample_rate"),
-        when(col("kind") === "video", lit(4)).cast("int").as("n_frames")))
+  def syntheticAssets(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].map { id =>
+      (id % 3) match {
+        case 0 => // image: 16×16 gradient-ish pattern
+          val rgb = Array.tabulate(16 * 16) { i =>
+            val (x, y) = (i % 16, i / 16)
+            val r = (id * 31 + x * 7 + y * 13) % 256
+            val g = (id * 17 + x * 11 + y * 3) % 256
+            val b = (id * 29 + x * 5 + y * 19) % 256
+            (r.toInt << 16) | (g.toInt << 8) | b.toInt
+          }
+          Asset(id, "image", PureCodecs.writeBmp(16, 16, rgb),
+            AssetMeta(Some(16), Some(16), None, None))
+        case 1 => // audio: 400-sample square wave, period/amp from the id
+          val period = (id % 37 + 5).toInt
+          val amp = (8000 + (id % 8) * 2000).toInt
+          val samples = Array.tabulate(400)(i =>
+            (if ((i / period) % 2 == 0) amp else -amp).toShort)
+          Asset(id, "audio", PureCodecs.writeWav(samples, 16000),
+            AssetMeta(None, None, Some(16000), None))
+        case _ => // video: stub payload (see FakeCodec)
+          Asset(id, "video", md5Payload(id, 8),
+            AssetMeta(None, None, None, Some(4)))
+      }
+    }.toDF()
+  }
 
   /** Batch feature extraction: one codec per partition, rows streamed
-    * through it — the executor-side shape a real decoder needs.
+    * through it — the executor-side shape a real decoder needs. Image
+    * and audio decode for REAL (BMP/WAV parsers); video uses the
+    * documented stub.
     */
   def extractFeatures(assets: Dataset[Asset], dim: Int = 16): Dataset[AssetFeature] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
-      // real impl: val codec = NativeCodec.open()  — once per partition
-      it.map(a => AssetFeature(a.asset_id, a.kind, dim,
-        FakeCodec.decodeToFeature(a.content, dim)))
+      // real impl: val videoCodec = NativeCodec.open()  — once per partition
+      it.map { a =>
+        val feat = a.kind match {
+          case "image" => PureCodecs.bmpFeatures(a.content, dim)
+          case "audio" => PureCodecs.wavFeatures(a.content, dim)
+          case _       => FakeCodec.decodeToFeature(a.content, dim)
+        }
+        AssetFeature(a.asset_id, a.kind, dim, feat)
+      }
     }
   }
 
@@ -96,16 +333,20 @@ object Multimodal {
     }
   }
 
-  /** Metadata-preserving resize of image payloads. */
+  /** REAL metadata-preserving resize of image payloads: nearest-
+    * neighbor pixel resample through the BMP codec; the new metadata
+    * comes from the re-encoded file's actual header.
+    */
   def resizeImages(assets: Dataset[Asset], factor: Int): Dataset[Asset] = {
     import assets.sparkSession.implicits._
     assets.map { a =>
       if (a.kind != "image") a
-      else a.copy(
-        content = FakeCodec.resize(a.content, factor),
-        meta = a.meta.copy(
-          width = a.meta.width.map(_ / factor),
-          height = a.meta.height.map(_ / factor)))
+      else {
+        val resized = PureCodecs.resizeBmp(a.content, factor)
+        val (w, h, _) = PureCodecs.parseBmp(resized)
+        a.copy(content = resized,
+          meta = a.meta.copy(width = Some(w), height = Some(h)))
+      }
     }
   }
 }

@@ -13,27 +13,72 @@ class MultimodalSpec extends SparkSpec {
       .as[Multimodal.Asset]
   }
 
-  test("synthetic asset table matches the declared multimodal schema") {
+  test("BMP codec round-trips pixels exactly and rejects other profiles") {
+    val rgb = Array.tabulate(7 * 5)(i => (i * 37 + 11) % 0xFFFFFF) // odd width → padded rows
+    val bytes = Multimodal.PureCodecs.writeBmp(7, 5, rgb)
+    val (w, h, back) = Multimodal.PureCodecs.parseBmp(bytes)
+    assert(w == 7 && h == 5)
+    assert(back.toSeq == rgb.toSeq)
+    intercept[IllegalArgumentException] {
+      Multimodal.PureCodecs.parseBmp("not a bitmap at all".getBytes)
+    }
+  }
+
+  test("WAV codec round-trips PCM16 samples exactly, tolerating extra chunks") {
+    val samples = Array.tabulate(321)(i => ((i * 997) % 65536 - 32768).toShort)
+    val bytes = Multimodal.PureCodecs.writeWav(samples, 16000)
+    val (rate, channels, back) = Multimodal.PureCodecs.parseWav(bytes)
+    assert(rate == 16000 && channels == 1)
+    assert(back.toSeq == samples.toSeq)
+    // splice an unknown word-aligned chunk between fmt and data — the
+    // parser must walk past it (real WAVs carry LIST/INFO chunks)
+    val junk = "JUNK".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0, 1, 2, 3, 4)
+    val spliced = bytes.slice(0, 36) ++ junk ++ bytes.slice(36, bytes.length)
+    val (rate2, _, back2) = Multimodal.PureCodecs.parseWav(spliced)
+    assert(rate2 == 16000 && back2.toSeq == samples.toSeq)
+  }
+
+  test("synthetic asset table matches the declared multimodal schema with real payloads") {
     val df = Multimodal.syntheticAssets(
       spark, T.documents(spark, sf()).select(col("doc_id")), "doc_id")
     assert(df.schema("content").dataType.typeName == "binary")
     assert(df.schema("meta").dataType.typeName == "struct")
     val kinds = df.select("kind").distinct().collect().map(_.getString(0)).sorted
     assert(kinds.toSeq == Seq("audio", "image", "video"))
-    // payloads are non-empty and deterministic (md5-derived)
-    val r = df.filter(col("asset_id") === 3).select("content").collect().head
-    assert(r.getAs[Array[Byte]](0).length == 128) // 16-byte md5 × 8
+    // image payloads are REAL BMPs: 54-byte headers + 16 rows × 48 bytes
+    val img = df.filter(col("kind") === "image").select("content").collect().head
+      .getAs[Array[Byte]](0)
+    assert(img.length == 54 + 16 * 48)
+    val (w, h, _) = Multimodal.PureCodecs.parseBmp(img)
+    assert(w == 16 && h == 16)
+    // audio payloads are REAL WAVs: 44-byte header + 400 PCM16 samples
+    val wav = df.filter(col("kind") === "audio").select("content").collect().head
+      .getAs[Array[Byte]](0)
+    assert(wav.length == 44 + 400 * 2)
+    assert(Multimodal.PureCodecs.parseWav(wav)._1 == 16000)
+    // video keeps the documented md5 stub payload
+    val vid = df.filter(col("kind") === "video").select("content").collect().head
+      .getAs[Array[Byte]](0)
+    assert(vid.length == 128) // 16-byte md5 × 8
   }
 
-  test("feature extraction keeps batch shape: one row per asset, fixed dim") {
+  test("feature extraction keeps batch shape: one row per asset, fixed dim, deterministic") {
     val feats = Multimodal.extractFeatures(assets(), dim = 16)
     assert(feats.count() == 500)
-    val f = feats.filter(_.asset_id == 1).collect().head
-    assert(f.feature.length == 16)
-    assert(math.abs(f.feature.sum - 1.0f) < 1e-5) // normalized histogram
+    val byKind = feats.collect().groupBy(_.kind)
+    assert(byKind.keySet == Set("image", "audio", "video"))
+    byKind.values.foreach(fs => assert(fs.forall(_.feature.length == 16)))
+    // audio features reflect the REAL decode: the square wave's
+    // zero-crossing rate is ~1/period, strictly between 0 and 0.5
+    val zcr = byKind("audio").map(_.feature(1))
+    assert(zcr.forall(z => z > 0f && z < 0.5f))
+    // image features reflect the REAL decode: mean luminance in (0, 1)
+    val luma = byKind("image").map(_.feature(0))
+    assert(luma.forall(l => l > 0f && l < 1f))
     // deterministic across runs
+    val f = byKind("image").minBy(_.asset_id)
     val again = Multimodal.extractFeatures(assets(), dim = 16)
-      .filter(_.asset_id == 1).collect().head
+      .filter(_.kind == "image").collect().minBy(_.asset_id)
     assert(f.feature.toSeq == again.feature.toSeq)
   }
 
@@ -46,13 +91,15 @@ class MultimodalSpec extends SparkSpec {
     assert(perAsset == Set(4L))
   }
 
-  test("image resize halves metadata dims and shrinks payload") {
+  test("image resize REALLY resamples pixels: new header dims, parseable output") {
     val resized = Multimodal.resizeImages(assets(), factor = 2)
     val img = resized.filter(_.kind == "image").collect().head
-    assert(img.meta.width.contains(16) && img.meta.height.contains(16))
-    assert(img.content.length == 64) // every 2nd of 128 bytes
+    assert(img.meta.width.contains(8) && img.meta.height.contains(8))
+    val (w, h, rgb) = Multimodal.PureCodecs.parseBmp(img.content)
+    assert(w == 8 && h == 8 && rgb.length == 64)
+    assert(img.content.length == 54 + 8 * 24) // 8 rows × 24 bytes (already aligned)
     // non-images pass through untouched
     val audio = resized.filter(_.kind == "audio").collect().head
-    assert(audio.content.length == 128)
+    assert(audio.content.length == 44 + 400 * 2)
   }
 }
