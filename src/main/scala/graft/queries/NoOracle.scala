@@ -204,6 +204,27 @@ object NoOracle {
       .orderBy(col("asset_bucket").asc_nulls_first)
   }
 
+  /** Multimodal: REAL image resample surfaced to the driver — images
+    * decoded (BMP parser), nearest-neighbor downsampled ×2, re-encoded;
+    * the declared row aggregates the actual before/after header
+    * dimensions and payload sizes, which are deterministic by
+    * construction.
+    */
+  val multimodalResize: Q = Q.noOracle("multimodal_resize") { (s, d) =>
+    import s.implicits._
+    val assets = graft.multimodal.Multimodal
+      .syntheticAssets(s, T.documents(s, d).select(col("doc_id")), "doc_id")
+      .as[graft.multimodal.Multimodal.Asset]
+    graft.multimodal.Multimodal.resizeImages(assets, factor = 2)
+      .toDF()
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_assets"),
+        min(col("meta.width")).as("w_min"), max(col("meta.width")).as("w_max"),
+        min(length(col("content"))).as("bytes_min"),
+        max(length(col("content"))).as("bytes_max"))
+      .orderBy(col("kind").asc_nulls_first)
+  }
+
   /** Streaming runtime smoke as a batch-bounded run: the watermarked
     * tumbling aggregation executed over a bounded stream of the events
     * table via an in-memory sink would need a streaming query; here the
@@ -238,6 +259,6 @@ object NoOracle {
   val all: Seq[Q] = Seq(
     approxDistinct, approxPercentile, countMin, approxTopK, sampleSeeded,
     lshTextNearDup, lshEmbeddingNear, csvRejects, udfSurface,
-    multimodalFeatures, multimodalFrames, streamStateBatchRun,
-    streamTransformBatchRun)
+    multimodalFeatures, multimodalFrames, multimodalResize,
+    streamStateBatchRun, streamTransformBatchRun)
 }
