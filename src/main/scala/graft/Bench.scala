@@ -28,10 +28,17 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
-    for (_ <- 1 to nPasses; (name, fn) <- names) {
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+    for (pass <- 1 to nPasses) {
+      // Queries that .cache() intermediate frames (text_langid, b6 LSH)
+      // would otherwise serve passes 2..n from the CacheManager and the
+      // median would report warm-cache times, not the engine; clearing
+      // between passes keeps each pass cold and releases the memory.
+      if (pass > 1) spark.catalog.clearCache()
+      for ((name, fn) <- names) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+      }
     }
     def median(xs: Vector[Double]): Double = {
       val s = xs.sorted

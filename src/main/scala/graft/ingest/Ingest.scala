@@ -56,6 +56,7 @@ object Ingest {
     * reference's retry/error folders.
     */
   def run(spark: SparkSession, conf: Config): Seq[TableReport] = {
+    val hconf = spark.sessionState.newHadoopConf()
     val fs = LakeFs.fs(spark, conf.uploadDir)
     val root = new Path(conf.uploadDir)
     if (!fs.exists(root) || !fs.getFileStatus(root).isDirectory) return Nil
@@ -67,11 +68,19 @@ object Ingest {
         case e: Exception =>
           val table = dir.getName
           val files = listCsv(fs, dir)
-          val errRoot = if (conf.errorDir.nonEmpty) conf.errorDir
-                        else s"${conf.archiveDir}/../error"
+          // Default quarantine root: a sibling of the archive dir. Built
+          // with Path.getParent, not a literal "..", which HDFS rejects
+          // as an invalid path component.
+          val errRoot =
+            if (conf.errorDir.nonEmpty) new Path(conf.errorDir)
+            else {
+              val a = new Path(conf.archiveDir)
+              Option(a.getParent).map(new Path(_, "error"))
+                .getOrElse(new Path(a, "error"))
+            }
           val err = new Path(errRoot, table)
-          fs.mkdirs(err)
-          files.foreach(f => moveReplacing(fs, new Path(f), err))
+          err.getFileSystem(hconf).mkdirs(err)
+          files.foreach(f => moveReplacing(hconf, fs, new Path(f), err))
           TableReport(table, files, 0, 0, Nil, failed = Some(e.getMessage))
       }
     }
@@ -85,15 +94,22 @@ object Ingest {
       }
       .map(_.getPath.toString).toSeq.sorted
 
-  /** Rename `src` into directory `dstDir`, replacing any prior copy —
+  /** Move `src` into directory `dstDir`, replacing any prior copy —
     * the Hadoop-FS equivalent of REPLACE_EXISTING (rename refuses to
-    * clobber on most stores).
+    * clobber on most stores). The destination's FileSystem is resolved
+    * from ITS path, not the source's: upload and archive/error may live
+    * on different stores, in which case rename is impossible and the
+    * move degrades to copy+delete.
     */
-  private def moveReplacing(fs: FileSystem, src: Path, dstDir: Path): Unit = {
+  private def moveReplacing(hconf: org.apache.hadoop.conf.Configuration,
+                            srcFs: FileSystem, src: Path, dstDir: Path): Unit = {
+    val dstFs = dstDir.getFileSystem(hconf)
     val dst = new Path(dstDir, src.getName)
-    if (fs.exists(dst)) fs.delete(dst, false)
-    if (!fs.rename(src, dst))
-      throw new java.io.IOException(s"move $src -> $dst failed")
+    if (dstFs.exists(dst)) dstFs.delete(dst, false)
+    val ok =
+      if (srcFs.getUri == dstFs.getUri) srcFs.rename(src, dst)
+      else org.apache.hadoop.fs.FileUtil.copy(srcFs, src, dstFs, dst, true, hconf)
+    if (!ok) throw new java.io.IOException(s"move $src -> $dst failed")
   }
 
   /** Lake reader: mergeSchema unions add-only evolved batches. */
@@ -153,10 +169,11 @@ object Ingest {
       deduped.write.mode(SaveMode.Append).parquet(target)
     }
 
-    // Archive inputs (FS rename, driver-side — same as the reference).
+    // Archive inputs (FS move, driver-side — same as the reference).
+    val hconf = spark.sessionState.newHadoopConf()
     val archive = new Path(conf.archiveDir, table)
-    fs.mkdirs(archive)
-    files.foreach(f => moveReplacing(fs, new Path(f), archive))
+    archive.getFileSystem(hconf).mkdirs(archive)
+    files.foreach(f => moveReplacing(hconf, fs, new Path(f), archive))
     TableReport(table, files, loaded, rejected, evolvedCols)
   }
 }

@@ -26,8 +26,12 @@ object Lsh {
     val raw = docs
       .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
       .select(col("doc_id"),
+        // slice-of-sequence guards docs shorter than the shingle (Spark
+        // sequence(1, 0) is descending [1, 0]; slice(t, 0, n) throws)
         expr(
-          s"""array_distinct(transform(sequence(1, greatest(size(t) - ${shingleLen - 1}, 0)),
+          s"""array_distinct(transform(
+              slice(sequence(1, greatest(size(t) - ${shingleLen - 1}, 1)),
+                    1, greatest(size(t) - ${shingleLen - 1}, 0)),
               i -> concat_ws(' ', slice(t, i, $shingleLen))))""")
           .as("shingles"))
     // Optional df-prune (maxDfFraction < 1): a shingle present in more

@@ -96,21 +96,30 @@ object Multimodal {
     }
 
     /** Decode a 24-bit uncompressed BMP to (width, height, top-down
-      * row-major 0xRRGGBB pixels). Throws on other profiles.
+      * row-major 0xRRGGBB pixels). Accepts both bottom-up (positive
+      * biHeight) and top-down (negative biHeight — also conformant)
+      * row order. Throws on other profiles and on truncated data.
       */
     def parseBmp(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
       require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M', "not a BMP")
       val dataOffset = rd32(bytes, 10)
       val width = rd32(bytes, 18)
-      val height = rd32(bytes, 22)
+      val rawHeight = rd32(bytes, 22)
+      val topDown = rawHeight < 0
+      val height = math.abs(rawHeight)
       require(rd16(bytes, 28) == 24, "only 24-bit BMP supported")
       require(rd32(bytes, 30) == 0, "only uncompressed BMP supported")
+      require(width > 0 && height > 0, "degenerate BMP dimensions")
       val rowBytes = width * 3
       val pad = (4 - rowBytes % 4) % 4
+      require(dataOffset >= 54 &&
+        dataOffset.toLong + (height - 1).toLong * (rowBytes + pad) + rowBytes <= bytes.length,
+        "truncated BMP pixel data")
       val rgb = new Array[Int](width * height)
       var y = 0
       while (y < height) {
-        val rowStart = dataOffset + (height - 1 - y) * (rowBytes + pad)
+        val srcRow = if (topDown) y else height - 1 - y
+        val rowStart = dataOffset + srcRow * (rowBytes + pad)
         var x = 0
         while (x < width) {
           val o = rowStart + x * 3
@@ -199,8 +208,12 @@ object Multimodal {
       while (o + 8 <= bytes.length && (sampleRate == 0 || samples == null)) {
         val id = new String(bytes, o, 4, "US-ASCII")
         val size = rd32(bytes, o + 4)
+        // a negative/overlong size would stall or overrun the walk
+        require(size >= 0 && o + 8 + size <= bytes.length,
+          s"malformed WAV chunk '$id' (size $size)")
         id match {
           case "fmt " =>
+            require(size >= 16, "fmt chunk too short")
             require(rd16(bytes, o + 8) == 1, "only PCM supported")
             channels = rd16(bytes, o + 10)
             sampleRate = rd32(bytes, o + 12)

@@ -26,6 +26,16 @@ object Upsert {
     * frame count. */
   def intoParquet(spark: SparkSession, path: String, incoming: DataFrame,
                   keys: Seq[String], versionCol: String): Long = {
+    merge(spark, path, incoming, keys, versionCol)
+    spark.read.parquet(path).count()
+  }
+
+  /** The write path of [[intoParquet]] without the read-back count —
+    * for callers that upsert repeatedly (the streaming foreachBatch
+    * sink), where even a footer-only count of the whole lake per
+    * micro-batch is avoidable overhead. */
+  def merge(spark: SparkSession, path: String, incoming: DataFrame,
+            keys: Seq[String], versionCol: String): Unit = {
     import graft.ingest.LakeFs
     val exists = LakeFs.isDirectory(spark, path)
     val merged =
@@ -47,21 +57,31 @@ object Upsert {
       merged.write.mode(SaveMode.Overwrite).parquet(tmp)
       LakeFs.swap(spark, path, tmp, tag = "upsert")
     }
-    spark.read.parquet(path).count()
   }
 
   /** Partition-scoped MERGE into a Hive-layout lake partitioned by
     * `partCol`: only partitions present in `incoming` are read, merged
-    * (same latest-wins semantics as [[intoParquet]]), and swapped —
-    * the 100 TB upsert path, where a daily batch touching 3 days of a
-    * 5-year lake rewrites 3 partition directories, not the lake.
+    * (latest wins, as [[intoParquet]]), and swapped — the 100 TB upsert
+    * path, where a daily batch touching 3 days of a 5-year lake
+    * rewrites 3 partition directories, not the lake.
     *
-    * The touched-partition list is collected to the driver: it is
-    * bounded by the batch's distinct partition values (days, not rows).
-    * Each touched partition directory is swapped independently via
-    * Hadoop-FS renames, so an untouched partition is never without its
-    * directory; a reader racing the swap of a touched partition sees
-    * old-or-new, per partition.
+    * Contract: a key's partition value must be stable across batches
+    * (the standard partition-scoped MERGE contract, cf. Delta
+    * `replaceWhere`). A key that arrives under a NEW partition value
+    * is inserted there without visiting — or removing — its old
+    * partition's copy; callers with mutable partition keys need
+    * [[intoParquet]]'s full-lake merge.
+    *
+    * The touched-partition directory list is collected to the driver:
+    * it is bounded by the batch's distinct partition values (days, not
+    * rows), and is read back from the STAGED write's own directory
+    * names, so Hive escaping (`%3A` for ':', `__HIVE_DEFAULT_PARTITION__`
+    * for null) can never desynchronize the swap from the data. Each
+    * touched partition is swapped rename-away/rename-in (the LakeFs.swap
+    * discipline), so an untouched partition is never without its
+    * directory and a touched one is missing only for the gap between
+    * two renames; a reader racing that gap sees old-or-new, per
+    * partition.
     */
   def intoPartitionedParquet(spark: SparkSession, path: String, incoming: DataFrame,
                              keys: Seq[String], versionCol: String,
@@ -73,9 +93,17 @@ object Upsert {
         .write.partitionBy(partCol).mode(SaveMode.Overwrite).parquet(path)
     } else {
       val touched = incoming.select(col(partCol)).distinct().collect()
-        .map(_.get(0)).filter(_ != null)
-      val existingScoped = spark.read.parquet(path)
-        .filter(col(partCol).isin(touched.toIndexedSeq: _*))
+        .map(_.get(0))
+      val touchedNonNull = touched.filter(_ != null)
+      // Null partition values land in __HIVE_DEFAULT_PARTITION__; scope
+      // the existing-side read to include them iff the batch has them,
+      // so their lake copies join the merge instead of being clobbered.
+      val scopeFilter =
+        if (touched.contains(null) && touchedNonNull.nonEmpty)
+          col(partCol).isin(touchedNonNull.toIndexedSeq: _*) || col(partCol).isNull
+        else if (touched.contains(null)) col(partCol).isNull
+        else col(partCol).isin(touchedNonNull.toIndexedSeq: _*)
+      val existingScoped = spark.read.parquet(path).filter(scopeFilter)
       val merged = dedupLatest(
         existingScoped.withColumn("graft_src", lit(0))
           .unionByName(incoming.withColumn("graft_src", lit(1))
@@ -85,13 +113,21 @@ object Upsert {
       val tmp = path.stripSuffix("/") + "__upsert_parts_tmp"
       merged.write.partitionBy(partCol).mode(SaveMode.Overwrite).parquet(tmp)
       val fs = LakeFs.fs(spark, path)
-      touched.foreach { v =>
-        val part = s"$partCol=$v"
-        val dst = new Path(path.stripSuffix("/"), part)
-        val src = new Path(tmp, part)
-        if (fs.exists(dst)) fs.delete(dst, true)
-        if (fs.exists(src) && !fs.rename(src, dst))
-          throw new java.io.IOException(s"partition swap $src -> $dst failed")
+      // Swap the partition directories the staged write ACTUALLY
+      // produced (already Hive-escaped), not names recomputed from
+      // values — the two can differ and a miss would drop data.
+      val staged = fs.listStatus(new Path(tmp)).toIndexedSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
+        .map(_.getPath)
+      staged.foreach { src =>
+        val dst = new Path(path.stripSuffix("/"), src.getName)
+        val bak = new Path(path.stripSuffix("/"), src.getName + "__upsert_old")
+        val hadOld = fs.exists(dst)
+        if (hadOld && !fs.rename(dst, bak))
+          throw new java.io.IOException(s"partition swap: rename $dst -> $bak failed")
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"partition swap: rename $src -> $dst failed")
+        if (hadOld) fs.delete(bak, true)
       }
       fs.delete(new Path(tmp), true)
     }

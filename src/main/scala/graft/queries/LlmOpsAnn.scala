@@ -67,8 +67,10 @@ object LlmOpsAnn {
     val sh = T.documents(s, d)
       .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
       .select(col("doc_id"),
+        // slice-of-sequence guards the <3-token doc (Spark sequence(1, 0)
+        // is descending [1, 0]; element_at(t, 0) throws)
         explode(array_distinct(expr(
-          """transform(sequence(1, greatest(size(t) - 2, 0)),
+          """transform(slice(sequence(1, greatest(size(t) - 2, 1)), 1, greatest(size(t) - 2, 0)),
              i -> concat_ws(' ', element_at(t, i), element_at(t, i+1), element_at(t, i+2)))"""
         ))).as("s"))
     val codes = sh.select(col("doc_id"),

@@ -56,8 +56,10 @@ object LlmOpsExt {
     // left/right + sizes) — measured 2× faster than per-row
     // array_distinct, which recomputes the explode per consumer
     val sh = tk.select(col("doc_id"),
+      // slice-of-sequence guards the <3-token doc: sequence(1, 0) is
+      // descending [1, 0] in Spark and element_at(t, 0) throws
       explode(expr(
-        """transform(sequence(1, greatest(size(t) - 2, 0)),
+        """transform(slice(sequence(1, greatest(size(t) - 2, 1)), 1, greatest(size(t) - 2, 0)),
            i -> concat_ws(' ', element_at(t, i), element_at(t, i+1), element_at(t, i+2)))"""
       )).as("sStr"))
       .select(col("doc_id"),
@@ -234,8 +236,10 @@ object LlmOpsExt {
       // would re-lowercase (copy) the whole doc per trigram, O(len²)/doc
       .select(col("doc_id"), col("lang"), lower(col("text")).as("lt"))
       .select(col("doc_id"), col("lang"),
+        // slice-of-sequence: a <3-char doc would otherwise get the
+        // descending [1, 0] and emit a bogus substring(lt, 0, 3)
         explode(array_distinct(expr(
-          """transform(sequence(1, greatest(length(lt) - 2, 0)),
+          """transform(slice(sequence(1, greatest(length(lt) - 2, 1)), 1, greatest(length(lt) - 2, 0)),
              i -> substring(lt, i, 3))"""))).as("g"))
       .cache()
     val wProfile = Window.partitionBy(col("lang"))

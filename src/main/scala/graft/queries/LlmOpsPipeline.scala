@@ -122,8 +122,13 @@ object LlmOpsPipeline {
         split(lower(col("text")), " ").as("t"))
     val sh = splitDf
       .select(col("split"), col("doc_id"),
+        // slice-of-sequence: Spark sequence(1, 0) is DESCENDING [1, 0]
+        // (step defaults to -1 when start > stop), so a short doc would
+        // hit element_at(t, 0) and throw; slicing an always-ascending
+        // sequence to length max(n, 0) yields [] like DuckDB's
+        // generate_series(1, 0)
         explode(expr(
-          """transform(sequence(1, greatest(size(t) - 4, 0)),
+          """transform(slice(sequence(1, greatest(size(t) - 4, 1)), 1, greatest(size(t) - 4, 0)),
              i -> concat_ws(' ', element_at(t, i), element_at(t, i+1), element_at(t, i+2),
                             element_at(t, i+3), element_at(t, i+4)))""")).as("sg"))
       .select(col("split"), col("doc_id"),

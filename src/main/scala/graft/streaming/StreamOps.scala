@@ -136,9 +136,10 @@ object StreamOps {
     df.writeStream
       .outputMode(OutputMode.Update)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.operators.Upsert.intoParquet(
+        // merge, not intoParquet: the sink discards the count, so don't
+        // pay a per-micro-batch read-back of the whole lake for it
+        graft.operators.Upsert.merge(
           batch.sparkSession, path, batch.toDF(), keys, versionCol)
-        ()
       }
 
   /** Stream-stream inner join with watermarks: each purchase matched to
