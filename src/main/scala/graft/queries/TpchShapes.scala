@@ -232,5 +232,186 @@ object TpchShapes {
       .limit(20)
   }
 
-  val all: Seq[Q] = Seq(tpchQ1, tpchQ3, tpchQ5, tpchQ7, tpchQ10)
+  /** Q4 (adapted): order-priority checking — count orders in a quarter
+    * having at least one returned lineitem. The reduced schema has no
+    * commit/receipt dates, so the EXISTS predicate tests returnflag;
+    * the SHAPE is the point: an EXISTS decorrelated to a left-semi
+    * join, never a count-then-filter. At scale the semi join shuffles
+    * only (orderkey) pairs, and the date filter prunes orders first.
+    */
+  val tpchQ4: Q = Q(
+    "tpch_q4",
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    T.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("date")
+        && col("o_orderdate") < lit("1996-10-01").cast("date"))
+      .join(T.lineitem(s, d).filter(col("l_returnflag") === "R"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** Q6: forecasting revenue change — the pure single-scan aggregate.
+    * Every predicate reaches the parquet scan (PushedFilters); no
+    * shuffle except the final 1-row reduction.
+    */
+  val tpchQ6: Q = Q(
+    "tpch_q6",
+    """SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * CAST(l_discount AS DECIMAL(18,4))) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+  ) { (s, d) =>
+    T.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date")
+        && col("l_shipdate") < lit("1997-01-01").cast("date")
+        && col("l_discount").between(0.05, 0.07)
+        && col("l_quantity") < 24)
+      .agg(sum(T.dec2(col("l_extendedprice")) * T.dec4(col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Q12 (adapted): shipping-mode priority split — the reduced schema
+    * has no l_shipmode, so the group key is l_linestatus; the SHAPE is
+    * the conditional aggregation (urgent/non-urgent CASE folded into
+    * two sums over one join pass, not two joins).
+    */
+  val tpchQ12: Q = Q(
+    "tpch_q12",
+    """SELECT l_linestatus,
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    T.orders(s, d)
+      .join(T.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("date")
+            && col("l_shipdate") < lit("1997-01-01").cast("date")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(urgent, 1).otherwise(0)).cast("long").as("high_line_count"),
+        sum(when(!urgent, 1).otherwise(0)).cast("long").as("low_line_count"))
+      .orderBy(col("l_linestatus").asc_nulls_first)
+  }
+
+  /** Q14: promotion-effect revenue share — one month of lineitem joined
+    * to part, promo share as a ratio of two exact decimal sums divided
+    * once as DOUBLE (D2). Both CASE branches pinned to DECIMAL(18,6) so
+    * the engines sum identical addends.
+    */
+  val tpchQ14: Q = Q(
+    "tpch_q14",
+    """SELECT 100 * CAST(sum(CASE WHEN p_type = 'PROMO'
+      |                 THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                      * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6))
+      |                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+      |       / CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                  * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6)))
+      |              AS DOUBLE) AS promo_revenue_pct,
+      |       count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01'""".stripMargin
+  ) { (s, d) =>
+    val rev6 = (T.dec2(col("l_extendedprice"))
+      * (lit(1) - T.dec4(col("l_discount")))).cast("decimal(18,6)")
+    T.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast("date")
+        && col("l_shipdate") < lit("1996-10-01").cast("date"))
+      .join(T.part(s, d), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100) * sum(when(col("p_type") === "PROMO", rev6)
+          .otherwise(lit(0).cast("decimal(18,6)"))).cast("double")
+          / sum(rev6).cast("double")).as("promo_revenue_pct"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Q18: large-volume customers — the HAVING-subquery shape. The IN
+    * subquery is the same aggregate the outer query re-groups, so the
+    * scale plan is: aggregate lineitem ONCE on orderkey (one shuffle),
+    * semi-join orders against the qualifying keys, then re-join for the
+    * customer rollup. Top-100 bounded output.
+    */
+  val tpchQ18: Q = Q(
+    "tpch_q18",
+    """SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |              JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey
+      |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 120)
+      |GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey NULLS FIRST
+      |LIMIT 100""".stripMargin
+  ) { (s, d) =>
+    val bigOrders = T.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("bk"))
+      .agg(sum(T.dec2(col("l_quantity"))).as("q"))
+      .filter(col("q") > 120)
+      .select(col("bk"))
+    T.customer(s, d)
+      .join(T.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(bigOrders, col("o_orderkey") === col("bk"), "left_semi")
+      .join(T.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .agg(sum(T.dec2(col("l_quantity"))).as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc_nulls_first)
+      .limit(100)
+  }
+
+  /** Q19: discounted revenue over OR-of-ANDs brand/size/quantity
+    * predicates — the disjunctive-pushdown shape: the per-table halves
+    * of the disjunction (p_brand+p_size on part, l_quantity bounds on
+    * lineitem) must reach their scans as a derived OR filter, with the
+    * full disjunction re-checked after the join.
+    */
+  val tpchQ19: Q = Q(
+    "tpch_q19",
+    """SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity >= 1 AND l_quantity <= 11)
+      |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25
+      |       AND l_quantity >= 10 AND l_quantity <= 20)
+      |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35
+      |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin
+  ) { (s, d) =>
+    val pred =
+      (col("p_brand") === "Brand#11" && col("p_size").between(1, 15)
+        && col("l_quantity") >= 1 && col("l_quantity") <= 11) ||
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 25)
+        && col("l_quantity") >= 10 && col("l_quantity") <= 20) ||
+      (col("p_brand") === "Brand#13" && col("p_size").between(1, 35)
+        && col("l_quantity") >= 20 && col("l_quantity") <= 30)
+    T.lineitem(s, d)
+      .join(T.part(s, d), col("p_partkey") === col("l_partkey"))
+      .filter(pred)
+      .agg(sum(T.dec2(col("l_extendedprice"))
+        * (lit(1) - T.dec4(col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val all: Seq[Q] = Seq(tpchQ1, tpchQ3, tpchQ5, tpchQ7, tpchQ10,
+    tpchQ4, tpchQ6, tpchQ12, tpchQ14, tpchQ18, tpchQ19)
 }
