@@ -11,7 +11,7 @@ object Registry {
       Scans.all ++ Joins.all ++ Aggregates.all ++ WindowsQ.all ++
         SortSetOps.all ++ Functions.all ++ Reshape.all ++ LlmOps.all ++
         StreamingBatch.all ++ LlmOpsExt.all ++ LlmOpsAnn.all ++ AggregatesExt.all ++
-        MiscOps.all ++ LlmOpsCurate.all ++ LlmOpsPipeline.all ++ TpchShapes.all ++
+        MiscOps.all ++ LlmOpsCurate.all ++ LlmOpsPipeline.all ++ TpchShapes.all ++ TpchShapes2.all ++
         TimeSeriesOps.all ++ NoOracle.all
     // a duplicate key would silently shadow a query in SparkEntry's Map
     val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys

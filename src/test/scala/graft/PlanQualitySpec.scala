@@ -19,7 +19,9 @@ class PlanQualitySpec extends SparkSpec {
     "subquery_scalar",     // scalar subquery joins back as a 1-row cross
     "text_tfidf",          // N-docs scalar joined as 1-row cross
     "dedup_fuzzy_levenshtein", // bounded (≤60-key) all-pairs edit distance
-    "ts_gapfill_locf")     // 1-row bounds aggregate crossed into the grid generator
+    "ts_gapfill_locf",     // 1-row bounds aggregate crossed into the grid generator
+    "tpch_q11",            // 1-row global-total threshold crossed into the grouped frame
+    "tpch_q22")            // 1-row avg-balance scalar crossed into the customer subset
     // dedup_embedding was allowlisted through r2 (all-pairs BNLJ); it is
     // now banded sign-LSH with an equi-join — no cross join to excuse
 
