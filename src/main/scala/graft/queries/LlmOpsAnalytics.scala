@@ -1,0 +1,255 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables => T}
+
+/** Event-analytics and corpus-packaging operators: the funnel /
+  * retention shapes every product-analytics deployment runs on an
+  * events stream, plus the packaging steps (sequence packing,
+  * LSH-cluster collapse, int8 quantization) that sit between a
+  * deduplicated corpus and an actual training run.
+  *
+  * Determinism: timestamps compared as epoch MICROSECONDS on both
+  * engines (events.parquet is TIMESTAMP(NANOS); Spark reads it µs —
+  * comparing at ns in DuckDB could order two sub-µs events
+  * differently). All counts CAST(... AS BIGINT) in the oracle
+  * (DuckDB sum(int) widens to HUGEINT).
+  */
+object LlmOpsAnalytics {
+
+  /** 3-step strictly-ordered funnel (view → click → purchase): each
+    * stage keeps users whose FIRST qualifying event is strictly after
+    * their previous-stage timestamp. The shape is chained
+    * aggregate-then-equi-join (one shuffle per stage, each on
+    * user_id — a co-partitioned chain at scale, never a
+    * per-user subquery or a self-join explosion).
+    */
+  val funnelSteps: Q = Q(
+    "funnel_steps",
+    """WITH v AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS t1
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+      |  GROUP BY e.user_id)
+      |SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+      |UNION ALL
+      |SELECT 'view>click', CAST(count(*) AS BIGINT) FROM c
+      |UNION ALL
+      |SELECT 'view>click>purchase', CAST(count(*) AS BIGINT) FROM p
+      |ORDER BY stage""".stripMargin
+  ) { (s, d) =>
+    val ev = T.events(s, d).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("tus"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("tus")).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("tus") > col("t1"))
+      .groupBy("user_id").agg(min(col("tus")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("tus") > col("t2"))
+      .groupBy("user_id").agg(min(col("tus")).as("t3"))
+    def stage(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+    stage(v, "view")
+      .unionByName(stage(c, "view>click"))
+      .unionByName(stage(p, "view>click>purchase"))
+      .orderBy(col("stage"))
+  }
+
+  /** Weekly cohort retention: cohort = epoch-aligned week of the
+    * user's first event; a (cohort, offset) cell counts users with any
+    * activity that week. Two hash aggregations and one equi-join on
+    * user_id — every stage partial-aggregates map-side.
+    */
+  val cohortRetention: Q = Q(
+    "cohort_retention",
+    """WITH first AS (
+      |  SELECT user_id, min(epoch_us(ts) // 604800000000) AS w0
+      |  FROM events GROUP BY user_id),
+      |act AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS w
+      |  FROM events)
+      |SELECT first.w0 AS cohort_week, act.w - first.w0 AS week_offset,
+      |       CAST(count(*) AS BIGINT) AS n_users
+      |FROM act JOIN first ON act.user_id = first.user_id
+      |GROUP BY 1, 2
+      |ORDER BY cohort_week, week_offset""".stripMargin
+  ) { (s, d) =>
+    val wk = expr("unix_micros(ts) div 604800000000")
+    val ev = T.events(s, d).select(col("user_id"), wk.as("w"))
+    val first = ev.groupBy("user_id").agg(min(col("w")).as("w0"))
+    val act = ev.distinct()
+    act.join(first, "user_id")
+      .groupBy(col("w0").as("cohort_week"), (col("w") - col("w0")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** Sequence packing: assign documents to fixed token-budget (256)
+    * training bins — concat-and-chunk greedy packing in doc_id order
+    * within 32 hash buckets. The per-bucket running token sum is the
+    * only sequential step; buckets pack in parallel, which is exactly
+    * how a 100 TB corpus packs on 1000 executors (bucket count scales
+    * with the cluster, order within a bucket stays deterministic).
+    */
+  val packSequences: Q = Q(
+    "pack_sequences",
+    """WITH toks AS (
+      |  SELECT doc_id, doc_id % 32 AS bucket,
+      |         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |cum AS (
+      |  SELECT bucket, n_tok,
+      |         sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id) AS cs
+      |  FROM toks)
+      |SELECT bucket AS pack_bucket, CAST((cs - n_tok) // 256 AS BIGINT) AS bin_id,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+      |FROM cum GROUP BY 1, 2
+      |ORDER BY pack_bucket, bin_id""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = T.documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % 32).as("bucket"),
+        size(split(lower(col("text")), " ")).cast("long").as("n_tok"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+    toks
+      .withColumn("cs", sum(col("n_tok")).over(w))
+      .groupBy(col("bucket").as("pack_bucket"),
+        expr("(cs - n_tok) div 256").as("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+      .orderBy(col("pack_bucket"), col("bin_id"))
+  }
+
+  /** LSH-cluster collapse: near-dup PAIR generation is only half of
+    * dedup — this is the other half, grouping docs into connected
+    * components and electing a canonical representative. Bands are two
+    * 1-permutation minhashes of the 3-shingle set (min / max of the
+    * md5-derived 60-bit shingle codes); 4 alternating rounds of
+    * min-label propagation over the band partitions connect components
+    * (near-dup clusters have tiny diameter, and both engines run the
+    * SAME fixed 4 rounds, so results agree even on a pathological
+    * chain). Shingle-less short docs get a unique negative band key —
+    * singleton clusters, never an all-NULL merge. The Spark side
+    * propagates via aggregate-then-join-back (map-side combinable),
+    * not a window — the same scale argument as the IVF argmax.
+    */
+  val dedupCluster: Q = Q(
+    "dedup_cluster",
+    """WITH tk AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) AS s
+      |  FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |             generate_series(1, greatest(len(t) - 2, 0)),
+      |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |    FROM tk
+      |  )
+      |), bands AS (
+      |  SELECT doc_id, min(s) AS mb1, max(s) AS mb2 FROM sh GROUP BY doc_id
+      |), base AS (
+      |  SELECT d.doc_id, coalesce(b.mb1, -d.doc_id - 1) AS b1,
+      |         coalesce(b.mb2, -d.doc_id - 1) AS b2
+      |  FROM documents d LEFT JOIN bands b ON d.doc_id = b.doc_id
+      |), l1 AS (
+      |  SELECT doc_id, b1, b2, min(doc_id) OVER (PARTITION BY b1) AS l FROM base
+      |), l2 AS (
+      |  SELECT doc_id, b1, b2, min(l) OVER (PARTITION BY b2) AS l FROM l1
+      |), l3 AS (
+      |  SELECT doc_id, b1, b2, min(l) OVER (PARTITION BY b1) AS l FROM l2
+      |), l4 AS (
+      |  SELECT doc_id, min(l) OVER (PARTITION BY b2) AS l FROM l3
+      |)
+      |SELECT l AS cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
+      |       min(doc_id) AS canonical_doc
+      |FROM l4 GROUP BY l
+      |ORDER BY cluster_id""".stripMargin
+  ) { (s, d) =>
+    val tk = T.documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+    val sh = tk.select(col("doc_id"),
+      explode(expr(
+        """transform(slice(sequence(1, greatest(size(t) - 2, 1)), 1, greatest(size(t) - 2, 0)),
+           i -> concat_ws(' ', element_at(t, i), element_at(t, i+1), element_at(t, i+2)))"""
+      )).as("sStr"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(sStr), 1, 15), 16, 10) AS BIGINT)").as("s"))
+      .distinct()
+    val bands = sh.groupBy(col("doc_id").as("bid"))
+      .agg(min(col("s")).as("mb1"), max(col("s")).as("mb2"))
+    val base = T.documents(s, d).select(col("doc_id"))
+      .join(bands, col("doc_id") === col("bid"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("mb1"), -col("doc_id") - 1).as("b1"),
+        coalesce(col("mb2"), -col("doc_id") - 1).as("b2"),
+        col("doc_id").as("l"))
+    // one propagation round: band-min of the current labels, joined
+    // back — partial-aggregable (map-side combine), unlike a window
+    def prop(df: DataFrame, band: String): DataFrame = {
+      val m = df.groupBy(col(band).as("bk")).agg(min(col("l")).as("ml"))
+      df.join(m, col(band) === col("bk"))
+        .select(col("doc_id"), col("b1"), col("b2"), col("ml").as("l"))
+    }
+    val converged = Seq("b1", "b2", "b1", "b2").foldLeft(base)(prop)
+    converged
+      .groupBy(col("l").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** Symmetric int8 quantization of the embedding column — the
+    * serving/training compression step. Per vector: scale =
+    * max|x|/127, q_i = round(x_i/scale); emitted as audit stats
+    * (scale, Σq, saturation count) rather than the raw int8 array
+    * (top-level arrays are driver-unstable). Map-only — the 100 TB
+    * cost is one pass, no shuffle. Float→double widening is exact and
+    * round-half-away agrees between engines; data has no zero vectors
+    * but nullif guards the division anyway.
+    */
+  val embeddingQuantize: Q = Q(
+    "embedding_quantize",
+    """WITH m AS (
+      |  SELECT vec_id,
+      |         CAST(list_aggregate(list_transform(embedding,
+      |                x -> abs(CAST(x AS DOUBLE))), 'max') AS DOUBLE) AS max_abs,
+      |         embedding
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, max_abs,
+      |         list_transform(embedding,
+      |           x -> CAST(round(CAST(x AS DOUBLE) * 127.0
+      |                           / nullif(max_abs, 0.0)) AS BIGINT)) AS qa
+      |  FROM m)
+      |SELECT vec_id, max_abs / 127.0 AS scale,
+      |       CAST(list_sum(qa) AS BIGINT) AS q_sum,
+      |       CAST(len(list_filter(qa, v -> abs(v) = 127)) AS BIGINT) AS n_saturated
+      |FROM q
+      |ORDER BY vec_id""".stripMargin
+  ) { (s, d) =>
+    T.embeddings(s, d)
+      .withColumn("max_abs",
+        expr("CAST(array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE)"))
+      .withColumn("qa",
+        expr("""transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 127.0
+                                / nullif(max_abs, CAST(0.0 AS DOUBLE))) AS BIGINT))"""))
+      .select(col("vec_id"), (col("max_abs") / lit(127.0)).as("scale"),
+        expr("CAST(aggregate(qa, 0L, (a, b) -> a + b) AS BIGINT)").as("q_sum"),
+        expr("CAST(size(filter(qa, v -> abs(v) = 127)) AS BIGINT)").as("n_saturated"))
+      .orderBy(col("vec_id"))
+  }
+
+  val all: Seq[Q] = Seq(funnelSteps, cohortRetention, packSequences,
+    dedupCluster, embeddingQuantize)
+}

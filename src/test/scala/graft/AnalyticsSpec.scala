@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.queries.LlmOpsAnalytics
+
+/** Semantics checks for the analytics/packaging operators beyond the
+  * oracle hash-compare: the funnel must be monotone, dedup_cluster
+  * must equal brute-force connected components on the band graph, and
+  * quantization must stay in int8 range with ≥1 saturated lane.
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  test("funnel_steps stages are monotone non-increasing") {
+    val rows = LlmOpsAnalytics.funnelSteps.fn(spark, sf()).collect()
+    val byStage = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStage.keySet ===
+      Set("view", "view>click", "view>click>purchase"))
+    assert(byStage("view") >= byStage("view>click"))
+    assert(byStage("view>click") >= byStage("view>click>purchase"))
+    assert(byStage("view") > 0)
+  }
+
+  test("cohort_retention offsets are non-negative and cell sums bound users") {
+    val rows = LlmOpsAnalytics.cohortRetention.fn(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(1) >= 0), "negative week offset")
+    val nUsers = graft.Tables.events(spark, sf())
+      .select("user_id").distinct().count()
+    // offset-0 cells partition the user base exactly
+    val offset0 = rows.filter(_.getLong(1) == 0L).map(_.getLong(2)).sum
+    assert(offset0 === nUsers)
+  }
+
+  test("pack_sequences conserves docs and tokens") {
+    val packed = LlmOpsAnalytics.packSequences.fn(spark, sf())
+    val Row(nDocs: Long, nTok: Long) = packed
+      .selectExpr("sum(n_docs)", "sum(sum_tokens)").head()
+    val docs = graft.Tables.documents(spark, sf())
+    assert(nDocs === docs.count())
+    val expectedTok = docs
+      .selectExpr("sum(CAST(size(split(lower(text), ' ')) AS BIGINT))")
+      .head().getLong(0)
+    assert(nTok === expectedTok)
+  }
+
+  test("dedup_cluster equals brute-force connected components of the band graph") {
+    import scala.collection.mutable
+    val docs = graft.Tables.documents(spark, sf())
+    // recompute the band keys exactly as the query does
+    val bands = docs.selectExpr("doc_id", "split(lower(text), ' ') AS t")
+      .selectExpr("doc_id",
+        """explode(transform(slice(sequence(1, greatest(size(t) - 2, 1)), 1, greatest(size(t) - 2, 0)),
+           i -> concat_ws(' ', element_at(t, i), element_at(t, i+1), element_at(t, i+2)))) AS sh""")
+      .selectExpr("doc_id", "CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT) AS s")
+      .groupBy("doc_id").agg(
+        org.apache.spark.sql.functions.expr("min(s)").as("b1"),
+        org.apache.spark.sql.functions.expr("max(s)").as("b2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val allIds = docs.select("doc_id").collect().map(_.getLong(0))
+    // union-find over edges (same b1) ∪ (same b2); short docs isolated
+    val parent = mutable.Map(allIds.map(i => i -> i): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    Seq[((Long, Long, Long)) => Long](_._2, _._3).foreach { key =>
+      bands.groupBy(key).values.foreach { grp =>
+        grp.map(_._1).sliding(2).foreach { pair =>
+          if (pair.length == 2) union(pair(0), pair(1))
+        }
+      }
+    }
+    val expected = allIds.groupBy(find).map { case (_, m) =>
+      (m.min, m.length.toLong)
+    }.toSet
+    val got = LlmOpsAnalytics.dedupCluster.fn(spark, sf())
+      .collect().map(r => (r.getLong(2), r.getLong(1))).toSet
+    assert(got === expected,
+      "4-round label propagation disagrees with union-find components")
+  }
+
+  test("embedding_quantize: q_sum within int8 bounds, saturation present") {
+    val rows = LlmOpsAnalytics.embeddingQuantize.fn(spark, sf()).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val (scale, qSum, nSat) = (r.getDouble(1), r.getLong(2), r.getLong(3))
+      assert(scale > 0.0)
+      assert(math.abs(qSum) <= 127L * 64, s"q_sum $qSum out of range")
+      // max|x| quantizes to ±127 by construction
+      assert(nSat >= 1, "the max-magnitude lane must saturate")
+    }
+  }
+}
