@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output defaults to sbt's LoggedOutput, which prefixes every
+// line with "[info] " — that broke the driver's JSON parse of Bench's total
+// line in rounds 2 and 3 (BENCH_r0{2,3}.json: parsed=null despite the line
+// surviving tail capture). StdoutOutput passes the child's stdout through raw.
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+// ... and drop sbt's own trailing "[success] Total time: ..." line so the
+// short total JSON that Bench prints last is the actual last line of stdout.
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
