@@ -233,14 +233,20 @@ object LlmOpsExt {
     // resident).
     val tg = T.documents(s, d)
       // lower(text) ONCE per row as its own column — inside the lambda it
-      // would re-lowercase (copy) the whole doc per trigram, O(len²)/doc
-      .select(col("doc_id"), col("lang"), lower(col("text")).as("lt"))
+      // would re-lowercase (copy) the whole doc per trigram, O(len²)/doc.
+      // Then split to a per-char array: substring(lt, i, 3) scans from
+      // the string head on every call (UTF8String counts char widths), so
+      // extraction via substring is O(len²)/doc; cs[i] is O(1), making
+      // the whole pass O(len)/doc. (split-on-empty-regex segments UTF-16
+      // code units — equivalent to substring on BMP text like this
+      // corpus; surrogate-pair corpora would need the substring path.)
+      .select(col("doc_id"), col("lang"), split(lower(col("text")), "").as("cs"))
       .select(col("doc_id"), col("lang"),
         // slice-of-sequence: a <3-char doc would otherwise get the
-        // descending [1, 0] and emit a bogus substring(lt, 0, 3)
+        // descending [1, 0] and emit a bogus element_at(cs, 0)
         explode(array_distinct(expr(
-          """transform(slice(sequence(1, greatest(length(lt) - 2, 1)), 1, greatest(length(lt) - 2, 0)),
-             i -> substring(lt, i, 3))"""))).as("g"))
+          """transform(slice(sequence(1, greatest(size(cs) - 2, 1)), 1, greatest(size(cs) - 2, 0)),
+             i -> concat(cs[i - 1], cs[i], cs[i + 1]))"""))).as("g"))
       .cache()
     val wProfile = Window.partitionBy(col("lang"))
       .orderBy(col("cnt").desc, col("g").asc)
