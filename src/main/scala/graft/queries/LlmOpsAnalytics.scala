@@ -250,6 +250,54 @@ object LlmOpsAnalytics {
       .orderBy(col("vec_id"))
   }
 
+  /** Corpus-frequency document scoring — the unigram-LM proxy for
+    * "how surprising is this document": score = mean corpus frequency
+    * of the doc's tokens (low mean ⇒ rare vocabulary ⇒ candidate for
+    * quality review or upsampling). Kept log-free on purpose: the
+    * score is a ratio of two exact integers (sum of BIGINT token
+    * counts / token count), and integer→double + one division are
+    * IEEE-exact cross-engine, where ln/log2 are libm-dependent.
+    * Scale: token→frequency is an equi-join against the
+    * vocabulary-sized frequency table (broadcast), and the global
+    * top-25 is TakeOrderedAndProject (per-partition top-k, no global
+    * sort); the rank window runs on 25 rows.
+    */
+  val textRarity: Q = Q(
+    "text_rarity",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+      |), freq AS (
+      |  SELECT t, count(*) AS cnt FROM tok GROUP BY t
+      |), scored AS (
+      |  SELECT tok.doc_id, count(*) AS n_tokens,
+      |         CAST(CAST(sum(freq.cnt) AS BIGINT) AS DOUBLE) / count(*) AS mean_freq
+      |  FROM tok JOIN freq ON tok.t = freq.t
+      |  GROUP BY tok.doc_id
+      |), top AS (
+      |  SELECT doc_id, n_tokens, mean_freq,
+      |         row_number() OVER (ORDER BY mean_freq ASC, doc_id ASC) AS rank
+      |  FROM scored
+      |)
+      |SELECT doc_id, n_tokens, round(mean_freq, 6) AS mean_freq, rank
+      |FROM top WHERE rank <= 25
+      |ORDER BY rank NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val tok = T.documents(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
+    val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    val scored = tok.join(broadcast(freq), "t")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("cnt")).cast("double") / count(lit(1))).as("mean_freq"))
+    val wRank = Window.orderBy(col("mean_freq").asc, col("doc_id").asc)
+    scored.orderBy(col("mean_freq").asc, col("doc_id").asc).limit(25)
+      .withColumn("rank", row_number().over(wRank))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("mean_freq"), 6).as("mean_freq"), col("rank"))
+      .orderBy(col("rank").asc_nulls_first)
+  }
+
   val all: Seq[Q] = Seq(funnelSteps, cohortRetention, packSequences,
-    dedupCluster, embeddingQuantize)
+    dedupCluster, embeddingQuantize, textRarity)
 }

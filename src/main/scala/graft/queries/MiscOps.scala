@@ -227,7 +227,44 @@ object MiscOps {
       .orderBy(col("o_orderpriority").asc_nulls_first)
   }
 
+  /** Two-phase (salted) aggregation — the skew-mitigation shape for a
+    * hot grouping key: phase 1 pre-aggregates on (key, salt) so a
+    * skewed key's rows spread over 16 reducers; phase 2 combines the
+    * 16 partials per key. The salt is a deterministic hash of the
+    * unique orderkey (D4 — no rand()). Decimal partial sums are exact,
+    * so two-phase ≡ one-phase bit-for-bit and the plain GROUP BY is a
+    * valid oracle. At 100 TB this is what un-sticks a reducer pinned
+    * on one giant key; Spark's partial/final HashAggregate does the
+    * same split automatically for algebraic aggs — the explicit salt
+    * matters when the DISTINCT/collect-style agg defeats partials.
+    */
+  val aggSkewTwophase: Q = Q(
+    "agg_skew_twophase",
+    """WITH phase1 AS (
+      |  SELECT l_returnflag, l_orderkey % 16 AS salt,
+      |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS psum,
+      |         count(*) AS pcnt
+      |  FROM lineitem
+      |  GROUP BY 1, 2
+      |)
+      |SELECT l_returnflag,
+      |       CAST(sum(psum) AS DOUBLE) AS total_price,
+      |       CAST(sum(pcnt) AS BIGINT) AS n_items
+      |FROM phase1
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val phase1 = T.lineitem(s, d)
+      .groupBy(col("l_returnflag"), (col("l_orderkey") % 16).as("salt"))
+      .agg(sum(T.dec2(col("l_extendedprice"))).as("psum"),
+        count(lit(1)).as("pcnt"))
+    phase1.groupBy(col("l_returnflag"))
+      .agg(sum(col("psum")).cast("double").as("total_price"),
+        sum(col("pcnt")).as("n_items"))
+      .orderBy(col("l_returnflag").asc_nulls_first)
+  }
+
   val all: Seq[Q] = Seq(
     fnBitwise, fnHash, aggBool, aggMinmaxBy, setIntersectAll, setExceptAll,
-    fnStruct, fnEpoch, fnFormat, aggMode)
+    fnStruct, fnEpoch, fnFormat, aggMode, aggSkewTwophase)
 }

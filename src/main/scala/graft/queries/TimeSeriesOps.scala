@@ -150,5 +150,140 @@ object TimeSeriesOps {
       .orderBy(col("user_id").asc_nulls_first, col("valid_from").asc_nulls_first)
   }
 
-  val all: Seq[Q] = Seq(tsGapfillLocf, tsOhlc, scd2Intervals)
+  /** Linear interpolation on the hourly grid — the numeric sibling of
+    * LOCF gap-fill: each empty bucket gets prev + (next − prev)·frac,
+    * where frac is the bucket's fractional position in the gap. Buckets
+    * before the first / after the last observation stay NULL.
+    * Determinism: bucket values are decimal-exact sums cast once to
+    * double; the interpolation itself is +,−,×,÷ on those doubles (all
+    * IEEE exactly-rounded, identical tree both engines). Scale: the two
+    * windows partition by series — per-series state, no global sort.
+    */
+  val tsResampleInterp: Q = Q(
+    "ts_resample_interp",
+    """WITH b AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n,
+      |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2
+      |), bounds AS (
+      |  SELECT min(h) AS lo, max(h) AS hi FROM b
+      |), grid AS (
+      |  SELECT t.event_type, CAST(u.h AS TIMESTAMP) AS h
+      |  FROM (SELECT DISTINCT event_type FROM events) t,
+      |       bounds, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS u(h)
+      |), joined AS (
+      |  SELECT grid.event_type, grid.h, coalesce(b.n, 0) AS n, b.v
+      |  FROM grid LEFT JOIN b ON grid.event_type = b.event_type AND grid.h = b.h
+      |), ctx AS (
+      |  SELECT event_type, h, n, v,
+      |         last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_v,
+      |         last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+      |           OVER (PARTITION BY event_type ORDER BY h
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_h,
+      |         first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+      |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_v,
+      |         first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+      |           OVER (PARTITION BY event_type ORDER BY h
+      |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_h
+      |  FROM joined
+      |)
+      |SELECT event_type, h, n,
+      |       CASE WHEN v IS NOT NULL THEN v
+      |            WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+      |              prev_v + (next_v - prev_v) *
+      |                (CAST(CAST(epoch(h) AS BIGINT) - CAST(epoch(prev_h) AS BIGINT) AS DOUBLE) /
+      |                 CAST(CAST(epoch(next_h) AS BIGINT) - CAST(epoch(prev_h) AS BIGINT) AS DOUBLE))
+      |            ELSE NULL END AS v_interp
+      |FROM ctx
+      |ORDER BY event_type NULLS FIRST, h NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val e = T.events(s, d)
+    val b = e.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("v"))
+    val bounds = b.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+    val grid = e.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+    val joined = grid.join(b,
+        grid("event_type") === b("event_type") && grid("h") === b("h"), "left")
+      .select(grid("event_type"), grid("h"),
+        coalesce(col("n"), lit(0L)).as("n"), col("v"))
+    val wPrev = Window.partitionBy(col("event_type")).orderBy(col("h").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy(col("event_type")).orderBy(col("h").asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val obsH = when(col("v").isNotNull, col("h"))
+    val ctx = joined.select(col("event_type"), col("h"), col("n"), col("v"),
+      last(col("v"), ignoreNulls = true).over(wPrev).as("prev_v"),
+      last(obsH, ignoreNulls = true).over(wPrev).as("prev_h"),
+      first(col("v"), ignoreNulls = true).over(wNext).as("next_v"),
+      first(obsH, ignoreNulls = true).over(wNext).as("next_h"))
+    val frac =
+      (unix_timestamp(col("h")) - unix_timestamp(col("prev_h"))).cast("double") /
+        (unix_timestamp(col("next_h")) - unix_timestamp(col("prev_h"))).cast("double")
+    ctx.select(col("event_type"), col("h"), col("n"),
+        when(col("v").isNotNull, col("v"))
+          .when(col("prev_v").isNotNull && col("next_v").isNotNull,
+            col("prev_v") + (col("next_v") - col("prev_v")) * frac)
+          .as("v_interp"))
+      .orderBy(col("event_type").asc_nulls_first, col("h").asc_nulls_first)
+  }
+
+  /** Rolling z-score anomaly detection: per series, each point is scored
+    * against the mean/stddev of the 20 points strictly before it (so the
+    * point never contaminates its own baseline); |z| > 2 with ≥ 10
+    * history points flags an anomaly. Determinism: the frame sums run on
+    * pinned decimals (value and value² both cast to exact decimal, so
+    * window-segment-tree vs recompute summation order cannot diverge);
+    * mean/variance/sqrt are then IEEE-exact double ops. Scale: one
+    * window partitioned by series — per-series sort, no global shuffle.
+    */
+  val tsAnomalyZscore: Q = Q(
+    "ts_anomaly_zscore",
+    """WITH scored AS (
+      |  SELECT event_id, event_type, ts, value,
+      |         count(*) OVER w AS n_hist,
+      |         CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
+      |         CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+      |                       AS DECIMAL(24,10))) OVER w AS DOUBLE) AS s2
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+      |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+      |), z AS (
+      |  SELECT event_id, event_type, ts, value, n_hist,
+      |         s1 / n_hist AS mean,
+      |         sqrt(greatest(s2 / n_hist - (s1 / n_hist) * (s1 / n_hist), 1e-12)) AS std
+      |  FROM scored WHERE n_hist >= 10
+      |)
+      |SELECT event_id, event_type, ts, CAST(value AS DOUBLE) AS value,
+      |       round(mean, 6) AS mean, round((value - mean) / std, 6) AS zscore
+      |FROM z
+      |WHERE abs((value - mean) / std) > 2
+      |ORDER BY event_type NULLS FIRST, event_id NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-20, -1)
+    val vDec = col("value").cast("decimal(18,6)")
+    val scored = T.events(s, d).select(
+      col("event_id"), col("event_type"), col("ts"), col("value"),
+      count(lit(1)).over(w).as("n_hist"),
+      sum(vDec).over(w).cast("double").as("s1"),
+      sum((vDec * vDec).cast("decimal(24,10)")).over(w).cast("double").as("s2"))
+    val mean = col("s1") / col("n_hist")
+    val std = sqrt(greatest(col("s2") / col("n_hist") - mean * mean, lit(1e-12)))
+    val z = (col("value") - mean) / std
+    scored.filter(col("n_hist") >= 10)
+      .filter(abs(z) > 2)
+      .select(col("event_id"), col("event_type"), col("ts"),
+        col("value").cast("double").as("value"),
+        round(mean, 6).as("mean"), round(z, 6).as("zscore"))
+      .orderBy(col("event_type").asc_nulls_first, col("event_id").asc_nulls_first)
+  }
+
+  val all: Seq[Q] =
+    Seq(tsGapfillLocf, tsOhlc, scd2Intervals, tsResampleInterp, tsAnomalyZscore)
 }
