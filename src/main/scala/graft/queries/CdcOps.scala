@@ -21,12 +21,14 @@ object CdcOps {
   /** The changelog is derived deterministically from orders: each order
     * is a change to its customer's account (status F → delete, else
     * upsert of totalprice); orderkey % 97 == 0 rows get a synthetic
-    * never-seen key to exercise the insert arm.
+    * never-seen key (−o_custkey — customer keys are ≥ 1, so negation
+    * can never collide with a real key at ANY scale factor, unlike an
+    * additive offset) to exercise the insert arm.
     */
   val cdcMerge: Q = Q(
     "cdc_merge",
     """WITH chg AS (
-      |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS k,
+      |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN -o_custkey ELSE o_custkey END AS k,
       |         CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
       |         CAST(o_totalprice AS DECIMAL(18,2)) AS amount,
       |         o_orderdate, o_orderkey
@@ -52,7 +54,7 @@ object CdcOps {
       |ORDER BY cust_id NULLS FIRST""".stripMargin
   ) { (s, d) =>
     val chg = T.orders(s, d).select(
-      when(col("o_orderkey") % 97 === 0, col("o_custkey") + 1000000L)
+      when(col("o_orderkey") % 97 === 0, -col("o_custkey"))
         .otherwise(col("o_custkey")).as("k"),
       when(col("o_orderstatus") === "F", lit("D")).otherwise(lit("U")).as("op"),
       T.dec2(col("o_totalprice")).as("amount"),

@@ -131,21 +131,27 @@ object LlmOpsAnalytics {
   }
 
   /** LSH-cluster collapse: near-dup PAIR generation is only half of
-    * dedup — this is the other half, grouping docs into connected
+    * dedup — this is the other half, grouping docs into TRUE connected
     * components and electing a canonical representative. Bands are two
     * 1-permutation minhashes of the 3-shingle set (min / max of the
-    * md5-derived 60-bit shingle codes); 4 alternating rounds of
-    * min-label propagation over the band partitions connect components
-    * (near-dup clusters have tiny diameter, and both engines run the
-    * SAME fixed 4 rounds, so results agree even on a pathological
-    * chain). Shingle-less short docs get a unique negative band key —
+    * md5-derived 60-bit shingle codes); alternating rounds of
+    * min-label propagation over the band partitions iterate to a
+    * FIXPOINT (labels are monotone non-increasing, so an unchanged
+    * label sum proves both rounds were identities ⇒ labels are
+    * band-constant ⇒ the labeling IS the component minimum — no
+    * diameter assumption). The oracle reaches the same fixpoint via a
+    * DuckDB recursive CTE over star edges (doc ↔ band representative).
+    * Shingle-less short docs get a unique negative band key —
     * singleton clusters, never an all-NULL merge. The Spark side
     * propagates via aggregate-then-join-back (map-side combinable),
-    * not a window — the same scale argument as the IVF argmax.
+    * not a window — the same scale argument as the IVF argmax; rounds
+    * needed = graph diameter (≈ cluster chain length, small for
+    * near-dup corpora), with localCheckpoint truncating lineage per
+    * round so 100 TB plans don't grow unboundedly.
     */
   val dedupCluster: Q = Q(
     "dedup_cluster",
-    """WITH tk AS (
+    """WITH RECURSIVE tk AS (
       |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
       |), sh AS (
       |  SELECT DISTINCT doc_id,
@@ -162,18 +168,24 @@ object LlmOpsAnalytics {
       |  SELECT d.doc_id, coalesce(b.mb1, -d.doc_id - 1) AS b1,
       |         coalesce(b.mb2, -d.doc_id - 1) AS b2
       |  FROM documents d LEFT JOIN bands b ON d.doc_id = b.doc_id
-      |), l1 AS (
-      |  SELECT doc_id, b1, b2, min(doc_id) OVER (PARTITION BY b1) AS l FROM base
-      |), l2 AS (
-      |  SELECT doc_id, b1, b2, min(l) OVER (PARTITION BY b2) AS l FROM l1
-      |), l3 AS (
-      |  SELECT doc_id, b1, b2, min(l) OVER (PARTITION BY b1) AS l FROM l2
-      |), l4 AS (
-      |  SELECT doc_id, min(l) OVER (PARTITION BY b2) AS l FROM l3
+      |), db AS (
+      |  SELECT doc_id, b1 AS b FROM base UNION SELECT doc_id, b2 AS b FROM base
+      |), rep AS (
+      |  SELECT b, min(doc_id) AS r FROM db GROUP BY b
+      |), edges AS (
+      |  SELECT db.doc_id AS a, rep.r AS c FROM db JOIN rep ON db.b = rep.b
+      |  UNION
+      |  SELECT rep.r AS a, db.doc_id AS c FROM db JOIN rep ON db.b = rep.b
+      |), reach AS (
+      |  SELECT doc_id AS d, doc_id AS x FROM base
+      |  UNION
+      |  SELECT reach.d, e.c AS x FROM reach JOIN edges e ON e.a = reach.x
+      |), lab AS (
+      |  SELECT d AS doc_id, min(x) AS l FROM reach GROUP BY d
       |)
       |SELECT l AS cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
       |       min(doc_id) AS canonical_doc
-      |FROM l4 GROUP BY l
+      |FROM lab GROUP BY l
       |ORDER BY cluster_id""".stripMargin
   ) { (s, d) =>
     val tk = T.documents(s, d)
@@ -201,8 +213,21 @@ object LlmOpsAnalytics {
       df.join(m, col(band) === col("bk"))
         .select(col("doc_id"), col("b1"), col("b2"), col("ml").as("l"))
     }
-    val converged = Seq("b1", "b2", "b1", "b2").foldLeft(base)(prop)
-    converged
+    // iterate to FIXPOINT: every doc sits in its own band, so labels
+    // are monotone non-increasing and Σl strictly decreases until
+    // converged; an unchanged sum proves both prop rounds were
+    // identities ⇒ labels band-constant ⇒ per-component minimum (true
+    // connected components). localCheckpoint bounds lineage per round.
+    var cur = base.localCheckpoint()
+    var curSum = cur.agg(sum(col("l"))).head().getLong(0)
+    var fixed = false
+    while (!fixed) {
+      val next = prop(prop(cur, "b1"), "b2").localCheckpoint()
+      val nextSum = next.agg(sum(col("l"))).head().getLong(0)
+      if (nextSum == curSum) fixed = true
+      else { cur = next; curSum = nextSum }
+    }
+    cur
       .groupBy(col("l").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc"))
       .orderBy(col("cluster_id"))
@@ -257,10 +282,14 @@ object LlmOpsAnalytics {
     * score is a ratio of two exact integers (sum of BIGINT token
     * counts / token count), and integer→double + one division are
     * IEEE-exact cross-engine, where ln/log2 are libm-dependent.
-    * Scale: token→frequency is an equi-join against the
-    * vocabulary-sized frequency table (broadcast), and the global
-    * top-25 is TakeOrderedAndProject (per-partition top-k, no global
-    * sort); the rank window runs on 25 rows.
+    * Scale: token→frequency is an equi-join on the token — the join
+    * key matches the upstream groupBy(t) partitioning, so the shuffle
+    * join co-partitions with the frequency aggregate, and AQE is left
+    * to pick broadcast only when the measured vocabulary is small
+    * (Heaps' law: vocabulary grows with the corpus, so a FORCED
+    * broadcast would OOM at 100 TB). The global top-25 is
+    * TakeOrderedAndProject (per-partition top-k, no global sort); the
+    * rank window runs on 25 rows.
     */
   val textRarity: Q = Q(
     "text_rarity",
@@ -286,7 +315,7 @@ object LlmOpsAnalytics {
     val tok = T.documents(s, d)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
     val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
-    val scored = tok.join(broadcast(freq), "t")
+    val scored = tok.join(freq, "t")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         (sum(col("cnt")).cast("double") / count(lit(1))).as("mean_freq"))

@@ -77,7 +77,7 @@ class AnalyticsSpec extends SparkSpec {
     val got = LlmOpsAnalytics.dedupCluster.fn(spark, sf())
       .collect().map(r => (r.getLong(2), r.getLong(1))).toSet
     assert(got === expected,
-      "4-round label propagation disagrees with union-find components")
+      "fixpoint label propagation disagrees with union-find components")
   }
 
   test("embedding_quantize: q_sum within int8 bounds, saturation present") {
