@@ -96,11 +96,29 @@ object LlmOpsAnalytics {
 
   /** Sequence packing: assign documents to fixed token-budget (256)
     * training bins — concat-and-chunk greedy packing in doc_id order
-    * within 32 hash buckets. The per-bucket running token sum is the
-    * only sequential step; buckets pack in parallel, which is exactly
-    * how a 100 TB corpus packs on 1000 executors (bucket count scales
-    * with the cluster, order within a bucket stays deterministic).
+    * within `nBuckets` hash buckets. The per-bucket running token sum
+    * is the only sequential step; buckets pack in parallel, which is
+    * exactly how a 100 TB corpus packs on 1000 executors: bucket count
+    * is the parallelism ceiling, so size it to the cluster (the
+    * declared row pins 32 to match the oracle; a real deployment
+    * passes ≈ 2–3× total executor cores). Order within a bucket stays
+    * deterministic regardless of the count.
     */
+  def packSequencesDf(s: org.apache.spark.sql.SparkSession, d: String,
+                      nBuckets: Int = 32, tokenBudget: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = T.documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % nBuckets).as("bucket"),
+        size(split(lower(col("text")), " ")).cast("long").as("n_tok"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+    toks
+      .withColumn("cs", sum(col("n_tok")).over(w))
+      .groupBy(col("bucket").as("pack_bucket"),
+        expr(s"(cs - n_tok) div $tokenBudget").as("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+      .orderBy(col("pack_bucket"), col("bin_id"))
+  }
+
   val packSequences: Q = Q(
     "pack_sequences",
     """WITH toks AS (
@@ -116,19 +134,7 @@ object LlmOpsAnalytics {
       |       CAST(sum(n_tok) AS BIGINT) AS sum_tokens
       |FROM cum GROUP BY 1, 2
       |ORDER BY pack_bucket, bin_id""".stripMargin
-  ) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    val toks = T.documents(s, d)
-      .select(col("doc_id"), (col("doc_id") % 32).as("bucket"),
-        size(split(lower(col("text")), " ")).cast("long").as("n_tok"))
-    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
-    toks
-      .withColumn("cs", sum(col("n_tok")).over(w))
-      .groupBy(col("bucket").as("pack_bucket"),
-        expr("(cs - n_tok) div 256").as("bin_id"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
-      .orderBy(col("pack_bucket"), col("bin_id"))
-  }
+  ) { (s, d) => packSequencesDf(s, d) }
 
   /** LSH-cluster collapse: near-dup PAIR generation is only half of
     * dedup — this is the other half, grouping docs into TRUE connected

@@ -50,7 +50,17 @@ object TpchShapes2 {
       |         s_name NULLS FIRST, p_partkey
       |LIMIT 100""".stripMargin
   ) { (s, d) =>
+    // the selective part predicate (size 1–10 AND type LARGE) is
+    // independent of the correlated min, so a LEFT SEMI against the
+    // filtered part keys prunes the cost aggregate's INPUT — lineitem
+    // rows for non-candidate parts never enter the (part, supplier)
+    // aggregation, the supplier joins, or the min — instead of
+    // filtering only after the min-join-back (the r4 plan).
+    val partF = T.part(s, d)
+      .filter(col("p_size").between(1, 10) && col("p_type") === "LARGE")
     val cost = T.lineitem(s, d)
+      .join(broadcast(partF.select(col("p_partkey").as("fk"))),
+        col("l_partkey") === col("fk"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(T.dec2(col("l_extendedprice"))).as("supplycost"))
     val eur = cost
@@ -63,9 +73,7 @@ object TpchShapes2 {
     eur
       .join(minCost,
         col("l_partkey") === col("mk") && col("supplycost") === col("mincost"))
-      .join(broadcast(T.part(s, d)
-          .filter(col("p_size").between(1, 10) && col("p_type") === "LARGE")),
-        col("p_partkey") === col("l_partkey"))
+      .join(broadcast(partF), col("p_partkey") === col("l_partkey"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
         col("p_partkey"), col("supplycost"))
       .orderBy(col("s_acctbal").desc_nulls_last, col("n_name").asc_nulls_first,

@@ -41,6 +41,11 @@ class AnalyticsSpec extends SparkSpec {
       .selectExpr("sum(CAST(size(split(lower(text), ' ')) AS BIGINT))")
       .head().getLong(0)
     assert(nTok === expectedTok)
+    // the parallelism knob: a wider bucket count still conserves both
+    val Row(nDocs64: Long, nTok64: Long) =
+      LlmOpsAnalytics.packSequencesDf(spark, sf(), nBuckets = 64)
+        .selectExpr("sum(n_docs)", "sum(sum_tokens)").head()
+    assert(nDocs64 === nDocs && nTok64 === expectedTok)
   }
 
   test("dedup_cluster equals brute-force connected components of the band graph") {

@@ -100,6 +100,36 @@ class UpsertSpec extends SparkSpec {
       (4L, "d", 10), (5L, "e", 10), (6L, "f", 11)))
   }
 
+  test("MERGE convergence: a batch applied twice ≡ once; disjoint batches commute") {
+    import spark.implicits._
+    def lake(tag: String) = Files.createTempDirectory(s"graft_conv_$tag").toString + "/t"
+    def contents(dir: String): Set[(Long, String, Int)] =
+      spark.read.parquet(dir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val base = Seq((1L, "a", 1), (2L, "b", 1)).toDF("id", "payload", "version")
+    val a = Seq((2L, "b2", 2), (3L, "c", 2)).toDF("id", "payload", "version")
+    val b = Seq((4L, "d", 2), (5L, "e", 2)).toDF("id", "payload", "version") // keys ∩ a = ∅
+
+    // idempotence: the CDC at-least-once delivery guarantee
+    val (once, twice) = (lake("once"), lake("twice"))
+    Seq(once, twice).foreach(Upsert.intoParquet(spark, _, base, Seq("id"), "version"))
+    Upsert.intoParquet(spark, once, a, Seq("id"), "version")
+    Upsert.intoParquet(spark, twice, a, Seq("id"), "version")
+    Upsert.intoParquet(spark, twice, a, Seq("id"), "version")
+    assert(contents(once) == contents(twice), "reapplying a batch changed the lake")
+
+    // commutativity on disjoint key sets: parallel loaders can't conflict
+    val (ab, ba) = (lake("ab"), lake("ba"))
+    Seq(ab, ba).foreach(Upsert.intoParquet(spark, _, base, Seq("id"), "version"))
+    Upsert.intoParquet(spark, ab, a, Seq("id"), "version")
+    Upsert.intoParquet(spark, ab, b, Seq("id"), "version")
+    Upsert.intoParquet(spark, ba, b, Seq("id"), "version")
+    Upsert.intoParquet(spark, ba, a, Seq("id"), "version")
+    assert(contents(ab) == contents(ba), "disjoint batches did not commute")
+    assert(contents(ab) == Set((1L, "a", 1), (2L, "b2", 2), (3L, "c", 2),
+      (4L, "d", 2), (5L, "e", 2)))
+  }
+
   test("upsert result equals a reference merge over a real table slice") {
     val dir = Files.createTempDirectory("graft_upsert3").toString + "/t"
     val o = T.orders(spark, sf())
