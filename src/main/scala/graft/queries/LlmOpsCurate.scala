@@ -165,5 +165,80 @@ object LlmOpsCurate {
     }
   }
 
-  val all: Seq[Q] = Seq(dataSplitHash, sampleStratified, textChunk, textRedact, dqProfile)
+  /** Gopher-style repetition filter: a doc whose word bigrams repeat
+    * heavily is boilerplate/spam — score = duplicate-bigram fraction
+    * (1 − distinct/total), the standard pre-training quality gate
+    * (cf. Rae et al. 2021 §A1.1 repetition rules). Map-only per doc
+    * (the bigram set never leaves the row); the global top-25 is
+    * TakeOrderedAndProject with a (frac DESC, doc_id) total order.
+    * Determinism: frac is a ratio of two exact ints, divided once.
+    */
+  val textRepetition: Q = Q(
+    "text_repetition",
+    """WITH bi AS (
+      |  SELECT doc_id, len(t) - 1 AS n_bigrams,
+      |         len(list_distinct(list_transform(
+      |           generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1]))) AS n_distinct
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+      |  WHERE len(t) >= 2)
+      |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+      |       CAST(n_distinct AS BIGINT) AS n_distinct,
+      |       round(CAST(n_bigrams - n_distinct AS DOUBLE) / n_bigrams, 6) AS dup_frac
+      |FROM bi
+      |ORDER BY dup_frac DESC, doc_id ASC
+      |LIMIT 25""".stripMargin
+  ) { (s, d) =>
+    T.documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        (size(col("t")) - 1).cast("long").as("n_bigrams"),
+        expr("""CAST(size(array_distinct(transform(sequence(1, size(t) - 1),
+                i -> concat(element_at(t, i), ' ', element_at(t, i + 1))))) AS BIGINT)""")
+          .as("n_distinct"))
+      .withColumn("dup_frac",
+        round((col("n_bigrams") - col("n_distinct")).cast("double") / col("n_bigrams"), 6))
+      .orderBy(col("dup_frac").desc, col("doc_id").asc)
+      .limit(25)
+  }
+
+  /** Importance (quality-weighted) sampling: keep each doc with
+    * probability p = min(1, n_chars/500) — the upsample-long-docs
+    * shape every data-mixture pipeline runs — decided by a
+    * DETERMINISTIC per-doc uniform u = md5(doc_id)[0:8] / 2³². Both
+    * u (32-bit int ÷ 2³² — exact in double) and p (one correctly-
+    * rounded division) are bit-identical cross-engine, so the kept
+    * SET is reproducible anywhere, unlike a seeded .sample() whose
+    * draw depends on partitioning. Map-only + one partial-aggregated
+    * count at any scale.
+    */
+  val sampleImportance: Q = Q(
+    "sample_importance",
+    """WITH scored AS (
+      |  SELECT lang, n_chars,
+      |         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |           / 4294967296.0 AS u,
+      |         least(1.0, n_chars / 500.0) AS p
+      |  FROM documents)
+      |SELECT lang, CAST(count(*) FILTER (WHERE u < p) AS BIGINT) AS n_kept,
+      |       CAST(count(*) AS BIGINT) AS n_total,
+      |       CAST(coalesce(sum(n_chars) FILTER (WHERE u < p), 0) AS BIGINT) AS chars_kept
+      |FROM scored GROUP BY lang
+      |ORDER BY lang NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val u = expr(
+      "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) / 4294967296.0")
+    val p = least(lit(1.0), col("n_chars") / lit(500.0))
+    T.documents(s, d)
+      .select(col("lang"), col("n_chars"), u.as("u"), p.as("p"))
+      .groupBy(col("lang"))
+      .agg(count(when(col("u") < col("p"), 1)).as("n_kept"),
+        count(lit(1)).as("n_total"),
+        coalesce(sum(when(col("u") < col("p"), col("n_chars"))), lit(0L))
+          .cast("long").as("chars_kept"))
+      .orderBy(col("lang").asc_nulls_first)
+  }
+
+  val all: Seq[Q] = Seq(dataSplitHash, sampleStratified, textChunk, textRedact,
+    dqProfile, textRepetition, sampleImportance)
 }

@@ -159,6 +159,36 @@ object NoOracle {
         col("payload").asc_nulls_first)
   }
 
+  /** B2 surfaced as a declared row (VERDICT r4 stretch): add-only
+    * schema evolution — the reference's most distinctive data-model
+    * feature — exercised over two corpus-derived batches. Batch 1
+    * carries the narrow schema (doc_id, text); batch 2 arrives with
+    * two NEW columns (lang, source). The evolved union must keep every
+    * batch-1 row (typed NULLs in the added columns), keep batch-2's
+    * values, and stay monotonic (no column dropped or retyped). The
+    * declared rows are the per-batch null audit of the evolved frame —
+    * deterministic by construction.
+    */
+  val schemaEvolution: Q = Q.noOracle("b2_schema_evolution") { (s, d) =>
+    import graft.ingest.SchemaEvolution
+    val docs = T.documents(s, d)
+    val batch1 = docs.filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("text"), lit(1L).as("batch"))
+    val batch2 = docs.filter(col("doc_id") >= 50 && col("doc_id") < 100)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        lit(2L).as("batch"))
+    val evolved = SchemaEvolution.unionEvolved(batch1, batch2)
+    val monotonic =
+      SchemaEvolution.isMonotonic(batch1.schema, evolved.schema) &&
+        SchemaEvolution.isMonotonic(batch2.schema, evolved.schema)
+    evolved.groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("lang").isNull, 1L).otherwise(0L)).as("n_null_lang"),
+        sum(when(col("source").isNull, 1L).otherwise(0L)).as("n_null_source"))
+      .withColumn("monotonic", lit(monotonic))
+      .orderBy(col("batch").asc_nulls_first)
+  }
+
   /** B12: registered Scala UDF exercised through SQL. */
   val udfSurface: Q = Q.noOracle("b12_udf_surface") { (s, d) =>
     s.udf.register("graft_priority_rank",
@@ -258,7 +288,7 @@ object NoOracle {
 
   val all: Seq[Q] = Seq(
     approxDistinct, approxPercentile, countMin, approxTopK, sampleSeeded,
-    lshTextNearDup, lshEmbeddingNear, csvRejects, udfSurface,
+    lshTextNearDup, lshEmbeddingNear, csvRejects, schemaEvolution, udfSurface,
     multimodalFeatures, multimodalFrames, multimodalResize,
     streamStateBatchRun, streamTransformBatchRun)
 }

@@ -362,18 +362,21 @@ object TpchShapes {
       |ORDER BY o_totalprice DESC, o_orderkey NULLS FIRST
       |LIMIT 100""".stripMargin
   ) { (s, d) =>
-    val bigOrders = T.lineitem(s, d)
-      .groupBy(col("l_orderkey").as("bk"))
-      .agg(sum(T.dec2(col("l_quantity"))).as("q"))
-      .filter(col("q") > 120)
-      .select(col("bk"))
-    T.customer(s, d)
-      .join(T.orders(s, d), col("c_custkey") === col("o_custkey"))
-      .join(bigOrders, col("o_orderkey") === col("bk"), "left_semi")
-      .join(T.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      .groupBy(col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
-        col("o_totalprice"))
+    // every GROUP BY key is functionally determined by o_orderkey
+    // (orders is unique per key), so the HAVING subquery's per-order
+    // aggregate IS the output aggregate: one lineitem scan, one
+    // shuffle, and the filtered (rare) big orders join back — instead
+    // of the naive plan's second lineitem scan + re-aggregation of the
+    // joined rows
+    val qty = T.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
       .agg(sum(T.dec2(col("l_quantity"))).as("total_qty"))
+      .filter(col("total_qty") > 120)
+    T.orders(s, d)
+      .join(qty, col("o_orderkey") === col("l_orderkey"))
+      .join(T.customer(s, d), col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"), col("total_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc_nulls_first)
       .limit(100)
   }
