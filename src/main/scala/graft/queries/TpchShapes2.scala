@@ -275,6 +275,10 @@ object TpchShapes2 {
     * becomes the DISTINCT (part, supplier) pairs observed in lineitem;
     * the NOT IN exclusion (negative-balance suppliers) is a broadcast
     * anti join; count(DISTINCT) shuffles once on the group keys.
+    * Both broadcast filters (part semi, bad-supplier anti) run BEFORE
+    * the distinct — they are map-side, so reordering is free and the
+    * distinct's shuffle carries only candidate-part pairs (~the part
+    * filter's selectivity) instead of every (part, supplier) pair.
     */
   val tpchQ16: Q = Q(
     "tpch_q16",
@@ -289,16 +293,20 @@ object TpchShapes2 {
       |ORDER BY supplier_cnt DESC, p_brand NULLS FIRST, p_type NULLS FIRST,
       |         p_size""".stripMargin
   ) { (s, d) =>
-    val ps = T.lineitem(s, d)
-      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val goodPart = T.part(s, d)
+      .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO"
+        && col("p_size").isin(1, 2, 3, 5, 8, 13, 21, 34))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
     val badSupp = T.supplier(s, d)
       .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
-    ps
+    val ps = T.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(goodPart.select(col("p_partkey").as("gk"))),
+        col("l_partkey") === col("gk"), "left_semi")
       .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
-      .join(broadcast(T.part(s, d)
-          .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO"
-            && col("p_size").isin(1, 2, 3, 5, 8, 13, 21, 34))),
-        col("p_partkey") === col("l_partkey"))
+      .distinct()
+    ps
+      .join(broadcast(goodPart), col("p_partkey") === col("l_partkey"))
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand").asc_nulls_first,
