@@ -159,6 +159,46 @@ object NoOracle {
         col("payload").asc_nulls_first)
   }
 
+  /** B1's JSON twin: NDJSON in, typed rows out, malformed lines
+    * quarantined. The 11-line fixture covers the three JSON failure
+    * classes (type mismatch on a declared field, truncated object,
+    * non-JSON garbage); extra undeclared fields are NOT rejects —
+    * they're ignored (schema drift is B2's job). Same valid/reject
+    * structural output contract as b1_csv_rejects.
+    */
+  val jsonRejects: Q = Q.noOracle("b1_json_rejects") { (s, _) =>
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_b1_json_fixture")
+    java.nio.file.Files.createDirectories(dir)
+    val fixture =
+      """{"id": 1, "metric": "cpu", "m_value": 0.5}
+        |{"id": 2, "metric": "mem", "m_value": 0.7}
+        |{"id": 3, "metric": "cpu", "m_value": 0.9}
+        |{"id": 4, "metric": "disk", "m_value": 0.1}
+        |{"id": 5, "metric": "mem", "m_value": 0.2}
+        |{"id": 6, "metric": "cpu", "m_value": 0.4, "extra_field": "ignored"}
+        |{"id": 7, "metric": "disk", "m_value": 0.8}
+        |{"id": 8, "metric": "mem", "m_value": 0.6}
+        |{"id": "not-a-number", "metric": "cpu", "m_value": 1.0}
+        |{"id": 9, "metric": "cpu", "m_value":
+        |plain garbage, not json at all""".stripMargin
+    java.nio.file.Files.write(dir.resolve("batch.jsonl"),
+      fixture.getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("metric", StringType),
+      StructField("m_value", DoubleType)))
+    val res = graft.ingest.JsonSource.read(s, schema, dir.toString)
+    res.valid
+      .select(lit("valid").as("kind"), col("id").cast("string").as("key"),
+        col("metric").as("payload"))
+      .unionByName(res.rejects
+        .select(lit("reject").as("kind"), lit(null).cast("string").as("key"),
+          col("raw_line").as("payload")))
+      .orderBy(col("kind").asc_nulls_first, col("key").cast("long").asc_nulls_first,
+        col("payload").asc_nulls_first)
+  }
+
   /** B2 surfaced as a declared row (VERDICT r4 stretch): add-only
     * schema evolution — the reference's most distinctive data-model
     * feature — exercised over two corpus-derived batches. Batch 1
@@ -288,7 +328,8 @@ object NoOracle {
 
   val all: Seq[Q] = Seq(
     approxDistinct, approxPercentile, countMin, approxTopK, sampleSeeded,
-    lshTextNearDup, lshEmbeddingNear, csvRejects, schemaEvolution, udfSurface,
+    lshTextNearDup, lshEmbeddingNear, csvRejects, jsonRejects, schemaEvolution,
+    udfSurface,
     multimodalFeatures, multimodalFrames, multimodalResize,
     streamStateBatchRun, streamTransformBatchRun)
 }
