@@ -305,8 +305,63 @@ object Joins {
       .orderBy(col("o_orderpriority").asc_nulls_first)
   }
 
+  /** As-of join with a staleness tolerance: the matched click must be
+    * ≤ 1 hour old at purchase time, else NULL (a stale quote/state is
+    * worse than none — the kdb-style `tolerance` knob). Same scalable
+    * union + ordered-window idiom as join_asof (one shuffle on
+    * user_id, no range self-join); the tolerance is a post-window
+    * filter on the carried click timestamp, exact in integer micros.
+    */
+  val joinAsofTolerance: Q = Q(
+    "join_asof_tolerance",
+    """WITH ce AS (
+      |  SELECT event_id, user_id, ts,
+      |         CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+      |         CASE WHEN event_type = 'click' THEN ts END AS click_ts,
+      |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |), w AS (
+      |  SELECT event_id, user_id, ts, is_purchase,
+      |         last_value(click_id IGNORE NULLS) OVER (
+      |           PARTITION BY user_id
+      |           ORDER BY ts, is_purchase, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cid,
+      |         last_value(click_ts IGNORE NULLS) OVER (
+      |           PARTITION BY user_id
+      |           ORDER BY ts, is_purchase, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cts
+      |  FROM ce
+      |)
+      |SELECT event_id, user_id, ts,
+      |       CASE WHEN cts IS NOT NULL
+      |                 AND epoch_us(ts) - epoch_us(cts) <= 3600000000
+      |            THEN cid END AS asof_click_id_1h
+      |FROM w WHERE is_purchase = 1
+      |ORDER BY event_id NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val ce = T.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(
+        col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "click", col("event_id")).as("click_id"),
+        when(col("event_type") === "click", col("ts")).as("click_ts"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("is_purchase"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_purchase"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ce
+      .withColumn("cid", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("cts", last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("is_purchase") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("cts").isNotNull
+          && unix_micros(col("ts")) - unix_micros(col("cts")) <= 3600000000L,
+          col("cid")).as("asof_click_id_1h"))
+      .orderBy(col("event_id").asc_nulls_first)
+  }
+
   val all: Seq[Q] = Seq(
     joinInnerEqui, joinBroadcast, joinLeftOuter, joinFullOuter,
-    joinSemi, joinAnti, joinThetaRange, joinAsof, joinCrossSmall,
-    joinSkewSalted, joinLateral, joinRangeBinned)
+    joinSemi, joinAnti, joinThetaRange, joinAsof, joinAsofTolerance,
+    joinCrossSmall, joinSkewSalted, joinLateral, joinRangeBinned)
 }

@@ -284,6 +284,110 @@ object TimeSeriesOps {
       .orderBy(col("event_type").asc_nulls_first, col("event_id").asc_nulls_first)
   }
 
+  /** Point-in-time (AS OF) lookup against the SCD2 interval table —
+    * the read half of slowly-changing-dimension history: what was each
+    * user's state at probe times t₁..t₃ (quartiles of the data's time
+    * range, derived in exact integer micros)? Scalable idiom: probes
+    * are UNIONED into the per-user timeline and answered by one
+    * ordered-window `last(ignoreNulls)` pass — an as-of lookup with no
+    * range join, one shuffle on user_id. The only cross is the 1-row
+    * bounds aggregate broadcast into the probe generator (allowlisted,
+    * same pattern as ts_gapfill_locf). Interval starts sort before
+    * probes at the exact boundary (valid_from is inclusive), and gen
+    * breaks valid_from ties deterministically in both engines
+    * (coalesced, so no null-ordering divergence).
+    */
+  val scd2AsofLookup: Q = Q(
+    "scd2_asof_lookup",
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, event_type FROM events WHERE user_id < 10
+      |), marked AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                   IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      |  FROM e
+      |), gens AS (
+      |  SELECT user_id, ts, event_type,
+      |         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS gen
+      |  FROM marked
+      |), intervals AS (
+      |  SELECT user_id, gen, min(event_type) AS event_type,
+      |         min(ts) AS valid_from
+      |  FROM gens GROUP BY 1, 2
+      |), bounds AS (
+      |  SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM e
+      |), probes AS (
+      |  SELECT u.user_id, k.probe_k,
+      |         make_timestamp(mn + (CAST(probe_k AS BIGINT) * (mx - mn)) // 4)
+      |           AS probe_ts
+      |  FROM (SELECT DISTINCT user_id FROM intervals) u, bounds,
+      |       unnest([1, 2, 3]) AS k(probe_k)
+      |), tl AS (
+      |  SELECT user_id, valid_from AS t, 0 AS is_probe, event_type,
+      |         CAST(NULL AS INT) AS probe_k, CAST(gen AS BIGINT) AS gen
+      |  FROM intervals
+      |  UNION ALL
+      |  SELECT user_id, probe_ts AS t, 1 AS is_probe,
+      |         CAST(NULL AS VARCHAR) AS event_type, probe_k,
+      |         CAST(NULL AS BIGINT) AS gen
+      |  FROM probes
+      |), w AS (
+      |  SELECT user_id, t, is_probe, probe_k,
+      |         last_value(event_type IGNORE NULLS) OVER (
+      |           PARTITION BY user_id
+      |           ORDER BY t, is_probe, coalesce(gen, 9223372036854775807)
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS state
+      |  FROM tl
+      |)
+      |SELECT user_id, probe_k, CAST(t AS TIMESTAMP) AS probe_ts, state
+      |FROM w WHERE is_probe = 1
+      |ORDER BY user_id NULLS FIRST, probe_k""".stripMargin
+  ) { (s, d) =>
+    val ev = T.events(s, d)
+      .filter(col("user_id") < 10)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val wOrder = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gens = ev
+      .withColumn("chg",
+        when(!(lag(col("event_type"), 1).over(wOrder) <=> col("event_type")), 1)
+          .otherwise(0))
+      .withColumn("gen", sum(col("chg"))
+        .over(wOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val intervals = gens.groupBy(col("user_id"), col("gen"))
+      .agg(min(col("event_type")).as("event_type"),
+        min(col("ts")).as("valid_from"))
+    val bounds = ev.agg(min(unix_micros(col("ts"))).as("mn"),
+      max(unix_micros(col("ts"))).as("mx"))
+    val probes = intervals.select(col("user_id")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        explode(array(lit(1), lit(2), lit(3))).as("probe_k"),
+        col("mn"), col("mx"))
+      .select(col("user_id"), col("probe_k"),
+        timestamp_micros(
+          expr("mn + (CAST(probe_k AS BIGINT) * (mx - mn)) div 4")).as("probe_ts"))
+    val tl = intervals
+      .select(col("user_id"), col("valid_from").as("t"),
+        lit(0).as("is_probe"), col("event_type"),
+        lit(null).cast("int").as("probe_k"), col("gen").cast("long").as("gen"))
+      .unionByName(probes
+        .select(col("user_id"), col("probe_ts").as("t"),
+          lit(1).as("is_probe"), lit(null).cast("string").as("event_type"),
+          col("probe_k"), lit(null).cast("long").as("gen")))
+    val wT = Window.partitionBy(col("user_id"))
+      .orderBy(col("t").asc, col("is_probe").asc,
+        coalesce(col("gen"), lit(Long.MaxValue)).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tl
+      .withColumn("state", last(col("event_type"), ignoreNulls = true).over(wT))
+      .filter(col("is_probe") === 1)
+      .select(col("user_id"), col("probe_k"), col("t").as("probe_ts"), col("state"))
+      .orderBy(col("user_id").asc_nulls_first, col("probe_k").asc)
+  }
+
   val all: Seq[Q] =
-    Seq(tsGapfillLocf, tsOhlc, scd2Intervals, tsResampleInterp, tsAnomalyZscore)
+    Seq(tsGapfillLocf, tsOhlc, scd2Intervals, tsResampleInterp, tsAnomalyZscore,
+      scd2AsofLookup)
 }
