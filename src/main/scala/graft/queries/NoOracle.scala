@@ -159,6 +159,42 @@ object NoOracle {
         col("payload").asc_nulls_first)
   }
 
+  /** B5 depth: bucketed co-located join — THE shuffle-elimination
+    * lever for repeated large-table joins at 100 TB. Both sides are
+    * written bucketed (8 buckets) + sorted on the join key, then
+    * joined with a merge hint (broadcast would hide the point): with
+    * bucketing, the sort-merge join needs NO shuffle on either side.
+    * The row emits the join's aggregate plus a `join_no_shuffle` flag
+    * computed from the executed plan, so the driver-visible result
+    * asserts the plan property, not just the numbers. BucketedJoinSpec
+    * additionally proves result parity with the direct (unbucketed)
+    * join.
+    */
+  val bucketedJoin: Q = Q.noOracle("b5_bucketed_join") { (s, d) =>
+    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_b5_tables")
+    val li = T.lineitem(s, d).filter(col("l_orderkey") % 10 === 0)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val ord = T.orders(s, d).filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    s.sql("DROP TABLE IF EXISTS graft_b5_li")
+    s.sql("DROP TABLE IF EXISTS graft_b5_ord")
+    li.write.mode("overwrite").option("path", s"$tmp/li")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("graft_b5_li")
+    ord.write.mode("overwrite").option("path", s"$tmp/ord")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("graft_b5_ord")
+    val joined = s.table("graft_b5_li")
+      .hint("merge")
+      .join(s.table("graft_b5_ord"), col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString()
+    val noShuffle = !plan.contains("Exchange")
+    joined
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(T.dec2(col("l_quantity"))).cast("double").as("qty"))
+      .withColumn("join_no_shuffle", lit(noShuffle))
+      .orderBy(col("o_orderstatus").asc_nulls_first)
+  }
+
   /** B1's JSON twin: NDJSON in, typed rows out, malformed lines
     * quarantined. The 11-line fixture covers the three JSON failure
     * classes (type mismatch on a declared field, truncated object,
@@ -329,7 +365,7 @@ object NoOracle {
   val all: Seq[Q] = Seq(
     approxDistinct, approxPercentile, countMin, approxTopK, sampleSeeded,
     lshTextNearDup, lshEmbeddingNear, csvRejects, jsonRejects, schemaEvolution,
-    udfSurface,
+    bucketedJoin, udfSurface,
     multimodalFeatures, multimodalFrames, multimodalResize,
     streamStateBatchRun, streamTransformBatchRun)
 }

@@ -93,5 +93,49 @@ object StreamingBatch {
       .orderBy(col("user_id").asc_nulls_first, col("session_id").asc_nulls_first)
   }
 
-  val all: Seq[Q] = Seq(streamTumblingBatch, streamSlidingBatch, streamSessionBatch)
+  /** Watermark late-data accounting, batch twin: how many events would
+    * a 30-min watermark drop? Source partition = user_id % 8 (the
+    * kafka-partition shape — Spark tracks per-partition watermarks
+    * before min-combining them). Arrival order within a partition is a
+    * DETERMINISTIC md5 permutation of event_id: the corpus' event_id
+    * correlates with event time (in-order delivery ⇒ zero late events,
+    * a vacuous query), so the md5 shuffle models out-of-order delivery
+    * reproducibly in both engines. An event is late iff its ts is
+    * > 30 min behind the max event-time already seen in its partition
+    * (frame ends at 1 PRECEDING: the watermark an event is judged
+    * against excludes the event itself). Partitioned running max —
+    * scales with partition count, no global sort.
+    */
+  val streamLateEvents: Q = Q(
+    "stream_late_events",
+    """WITH arr AS (
+      |  SELECT user_id % 8 AS part, ts,
+      |         max(ts) OVER (
+      |           PARTITION BY user_id % 8
+      |           ORDER BY substring(md5(CAST(event_id AS VARCHAR)), 1, 8), event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_ts
+      |  FROM events)
+      |SELECT part, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(count(*) FILTER (
+      |         WHERE epoch_us(ts) < epoch_us(wm_ts) - 1800000000) AS BIGINT)
+      |         AS n_late
+      |FROM arr GROUP BY part
+      |ORDER BY part NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("part"))
+      .orderBy(substring(md5(col("event_id").cast("string")), 1, 8), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    T.events(s, d)
+      .select((col("user_id") % 8).as("part"), col("event_id"), col("ts"))
+      .withColumn("wm_ts", max(col("ts")).over(w))
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("n_events"),
+        count(when(
+          unix_micros(col("ts")) < unix_micros(col("wm_ts")) - 1800000000L, 1))
+          .as("n_late"))
+      .orderBy(col("part").asc_nulls_first)
+  }
+
+  val all: Seq[Q] = Seq(streamTumblingBatch, streamSlidingBatch, streamSessionBatch,
+    streamLateEvents)
 }

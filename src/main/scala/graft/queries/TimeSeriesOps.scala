@@ -387,7 +387,48 @@ object TimeSeriesOps {
       .orderBy(col("user_id").asc_nulls_first, col("probe_k").asc)
   }
 
+  /** Robust anomaly detection via median absolute deviation — the
+    * outlier-resistant sibling of ts_anomaly_zscore (a mean/stddev
+    * baseline is itself dragged by the outliers it's hunting; medians
+    * aren't). score = |v − med| / (1.4826·MAD), flag at > 3. Two
+    * aggregate-once-join-back passes (median, then MAD of deviations) —
+    * never a per-row subquery; the per-series joins are co-partitioned
+    * equi-joins on event_type (no forced broadcast — series cardinality
+    * grows with real telemetry). Medians are exact (quantile_cont ↔
+    * percentile); every double on the flag path is computed identically
+    * in both engines, so the flagged SET matches exactly.
+    */
+  val tsAnomalyMad: Q = Q(
+    "ts_anomaly_mad",
+    """WITH med AS (
+      |  SELECT event_type, median(value) AS med FROM events GROUP BY 1
+      |), dev AS (
+      |  SELECT e.event_id, e.event_type, e.value, abs(e.value - m.med) AS adev
+      |  FROM events e JOIN med m USING (event_type)
+      |), mad AS (
+      |  SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1
+      |)
+      |SELECT d.event_id, d.event_type, d.value,
+      |       round(d.adev / (1.4826 * m.mad), 6) AS score
+      |FROM dev d JOIN mad m USING (event_type)
+      |WHERE m.mad > 0 AND d.adev > 3 * 1.4826 * m.mad
+      |ORDER BY d.event_id NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val ev = T.events(s, d).select(col("event_id"), col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type").as("mk"))
+      .agg(median(col("value")).as("med"))
+    val dev = ev.join(med, col("event_type") === col("mk"))
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type").as("dk"))
+      .agg(median(col("adev")).as("mad"))
+    dev.join(mad, col("event_type") === col("dk"))
+      .filter(col("mad") > 0 && col("adev") > lit(3) * lit(1.4826) * col("mad"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("adev") / (lit(1.4826) * col("mad")), 6).as("score"))
+      .orderBy(col("event_id").asc_nulls_first)
+  }
+
   val all: Seq[Q] =
     Seq(tsGapfillLocf, tsOhlc, scd2Intervals, tsResampleInterp, tsAnomalyZscore,
-      scd2AsofLookup)
+      scd2AsofLookup, tsAnomalyMad)
 }

@@ -214,4 +214,52 @@ class BehaviorSpec extends SparkSpec {
     assert(tg(5L) == Seq("abc", "bcd", "cde"))
     assert(tg(6L) == Seq("hél", "éll", "llo"))
   }
+
+  test("ts_anomaly_mad equals a brute-force MAD recompute; robust to the planted outlier") {
+    val evs = Tables.events(spark, sf())
+      .selectExpr("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val flagged = evs.groupBy(_._2).flatMap { case (et, rows) =>
+      val med = medianOf(rows.map(_._3).toSeq)
+      val devs = rows.map(r => (r._1, math.abs(r._3 - med)))
+      val mad = medianOf(devs.map(_._2).toSeq)
+      if (mad <= 0) Seq.empty[(Long, String)]
+      else devs.filter(_._2 > 3 * 1.4826 * mad).map(d => (d._1, et)).toSeq
+    }.toSet
+    val got = graft.queries.TimeSeriesOps.tsAnomalyMad.fn(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === flagged)
+    assert(got.nonEmpty, "no anomalies flagged — threshold path not exercised")
+  }
+
+  test("stream_late_events equals a brute-force per-partition watermark replay") {
+    val evs = Tables.events(spark, sf())
+      .selectExpr("user_id % 8 AS part", "event_id", "unix_micros(ts) AS tsu")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def arrivalKey(eventId: Long): String = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(eventId.toString.getBytes("UTF-8"))
+      dig.map("%02x".format(_)).mkString.take(8)
+    }
+    val brute = evs.groupBy(_._1).map { case (part, rows) =>
+      var wm = Long.MinValue
+      var late = 0L
+      rows.sortBy(e => (arrivalKey(e._2), e._2)).foreach { e =>
+        if (wm != Long.MinValue && e._3 < wm - 1800000000L) late += 1
+        wm = math.max(wm, e._3)
+      }
+      part -> (rows.size.toLong, late)
+    }
+    val got = graft.queries.StreamingBatch.streamLateEvents.fn(spark, sf())
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === brute)
+    assert(got.values.map(_._2).sum > 0,
+      "no late events in the corpus — late arm not exercised")
+  }
 }
