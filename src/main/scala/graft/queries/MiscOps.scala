@@ -264,7 +264,70 @@ object MiscOps {
       .orderBy(col("l_returnflag").asc_nulls_first)
   }
 
+  /** Z-order (Morton) clustering audit — the multi-dimensional data
+    * layout lever: sort-by-z before writing gives file-level min/max
+    * pruning on BOTH join/filter dimensions at once (a plain sort only
+    * prunes its leading column). Raw-bit interleaving breaks on
+    * asymmetric key domains (orderkey spans 2¹⁴, partkey 2¹¹ → the low
+    * dimension's bits never reach the bucket prefix — measured: one
+    * bucket at sf0.001), so, like Delta/Iceberg z-ordering, each
+    * dimension is first NORMALIZED to a 4-bit rank against its global
+    * min/max (one partial-aggregable 1-row bounds pass, broadcast —
+    * allowlisted); the interleave of the two 4-bit ranks yields ≤ 256
+    * z-cells at ANY scale factor. The audit groups rows by cell and
+    * shows each covers a narrow rectangle of both key ranges — the
+    * locality a 100 TB writer turns directly into skipped files.
+    * Integer-only arithmetic, identical in both dialects.
+    */
+  val zorderLayout: Q = Q(
+    "zorder_layout",
+    {
+      val duck = ((0 until 4).map(i =>
+        s"(((na >> $i) & 1) * ${1L << (2 * i + 1)})") ++
+        (0 until 4).map(i =>
+          s"(((nb >> $i) & 1) * ${1L << (2 * i)})")).mkString(" + ")
+      s"""WITH bounds AS (
+         |  SELECT min(l_orderkey) AS ok_min, max(l_orderkey) AS ok_max,
+         |         min(l_partkey) AS pk_min, max(l_partkey) AS pk_max
+         |  FROM lineitem),
+         |norm AS (
+         |  SELECT l_orderkey, l_partkey,
+         |         ((l_orderkey - ok_min) * 16) // (ok_max - ok_min + 1) AS na,
+         |         ((l_partkey - pk_min) * 16) // (pk_max - pk_min + 1) AS nb
+         |  FROM lineitem, bounds),
+         |z AS (
+         |  SELECT l_orderkey, l_partkey, CAST($duck AS BIGINT) AS z_cell
+         |  FROM norm)
+         |SELECT z_cell, CAST(count(*) AS BIGINT) AS n,
+         |       min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+         |       min(l_partkey) AS min_pk, max(l_partkey) AS max_pk
+         |FROM z GROUP BY 1
+         |ORDER BY z_cell NULLS FIRST""".stripMargin
+    }
+  ) { (s, d) =>
+    val sparkZ = ((0 until 4).map(i =>
+      s"((shiftright(na, $i) & 1) * ${1L << (2 * i + 1)}L)") ++
+      (0 until 4).map(i =>
+        s"((shiftright(nb, $i) & 1) * ${1L << (2 * i)}L)")).mkString(" + ")
+    val bounds = T.lineitem(s, d).agg(
+      min(col("l_orderkey")).as("ok_min"), max(col("l_orderkey")).as("ok_max"),
+      min(col("l_partkey")).as("pk_min"), max(col("l_partkey")).as("pk_max"))
+    T.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .crossJoin(broadcast(bounds))
+      .select(col("l_orderkey"), col("l_partkey"),
+        expr("((l_orderkey - ok_min) * 16) div (ok_max - ok_min + 1)").as("na"),
+        expr("((l_partkey - pk_min) * 16) div (pk_max - pk_min + 1)").as("nb"))
+      .select(col("l_orderkey"), col("l_partkey"),
+        expr(s"CAST($sparkZ AS BIGINT)").as("z_cell"))
+      .groupBy(col("z_cell"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"),
+        min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"))
+      .orderBy(col("z_cell").asc_nulls_first)
+  }
+
   val all: Seq[Q] = Seq(
     fnBitwise, fnHash, aggBool, aggMinmaxBy, setIntersectAll, setExceptAll,
-    fnStruct, fnEpoch, fnFormat, aggMode, aggSkewTwophase)
+    fnStruct, fnEpoch, fnFormat, aggMode, aggSkewTwophase, zorderLayout)
 }

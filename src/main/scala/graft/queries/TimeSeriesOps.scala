@@ -428,7 +428,36 @@ object TimeSeriesOps {
       .orderBy(col("event_id").asc_nulls_first)
   }
 
+  /** Time-based RANGE frame: rolling 1-hour event count + decimal sum
+    * per series — the sliding-lookback shape (rate limiting, rolling
+    * QPS, trailing revenue) that ROWS frames can't express when event
+    * spacing is irregular. Both engines order the frame by exact epoch
+    * micros, so peer groups (exact-ts ties) and the 1-hour bound are
+    * identical; the windowed sum is decimal (order-independent, D2).
+    * One shuffle on event_type; at real telemetry cardinality the
+    * per-series windows parallelize.
+    */
+  val tsRolling1h: Q = Q(
+    "ts_rolling_1h",
+    """SELECT event_id, event_type,
+      |       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+      |       CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600000000L, 0)
+    T.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(T.dec4(col("value"))).over(w).cast("double").as("sum_1h"))
+      .orderBy(col("event_id").asc_nulls_first)
+  }
+
   val all: Seq[Q] =
     Seq(tsGapfillLocf, tsOhlc, scd2Intervals, tsResampleInterp, tsAnomalyZscore,
-      scd2AsofLookup, tsAnomalyMad)
+      scd2AsofLookup, tsAnomalyMad, tsRolling1h)
 }

@@ -237,6 +237,64 @@ class BehaviorSpec extends SparkSpec {
     assert(got.nonEmpty, "no anomalies flagged — threshold path not exercised")
   }
 
+  test("ts_rolling_1h equals a brute-force sliding-window recompute") {
+    val evs = Tables.events(spark, sf())
+      .selectExpr("event_id", "event_type", "unix_micros(ts) AS tsu", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val brute = evs.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      rows.toSeq.map { e =>
+        val in = rows.filter(o => o._3 >= e._3 - 3600000000L && o._3 <= e._3)
+        val sum = in.map(o => BigDecimal(o._4).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP)).sum
+        e._1 -> (in.length.toLong, sum.toDouble)
+      }
+    }.toMap
+    val got = graft.queries.TimeSeriesOps.tsRolling1h.fn(spark, sf()).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet === brute.keySet)
+    got.foreach { case (id, (n, s)) =>
+      assert((n, s) === brute(id), s"event $id rolling stats differ")
+    }
+    // the RANGE frame must actually vary (not everything in one window)
+    assert(got.values.map(_._1).toSet.size > 1)
+  }
+
+  test("zorder_layout buckets equal a brute-force Morton interleave and show 2-D locality") {
+    def morton4(a: Long, b: Long): Long =
+      (0 until 4).map(i =>
+        (((a >> i) & 1L) << (2 * i + 1)) | (((b >> i) & 1L) << (2 * i))).sum
+    val li = Tables.lineitem(spark, sf())
+      .selectExpr("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (okMin, okMax) = (li.map(_._1).min, li.map(_._1).max)
+    val (pkMin, pkMax) = (li.map(_._2).min, li.map(_._2).max)
+    val brute = li.toSeq
+      .groupBy { case (ok, pk) =>
+        morton4((ok - okMin) * 16 / (okMax - okMin + 1),
+          (pk - pkMin) * 16 / (pkMax - pkMin + 1))
+      }
+      .map { case (bkt, rows) =>
+        bkt -> (rows.size.toLong, rows.map(_._1).min, rows.map(_._1).max,
+          rows.map(_._2).min, rows.map(_._2).max)
+      }
+    val got = graft.queries.MiscOps.zorderLayout.fn(spark, sf()).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got === brute)
+    // locality: the mean per-bucket key SPAN must be far below the global
+    // span on BOTH dimensions — that's the pruning win a sort-by-one-col
+    // layout cannot give on its second column
+    val okSpanGlobal = (li.map(_._1).max - li.map(_._1).min).toDouble
+    val pkSpanGlobal = (li.map(_._2).max - li.map(_._2).min).toDouble
+    val multi = got.values.filter(_._1 > 1).toSeq
+    val okSpanMean = multi.map(v => (v._3 - v._2).toDouble).sum / multi.size
+    val pkSpanMean = multi.map(v => (v._5 - v._4).toDouble).sum / multi.size
+    assert(okSpanMean < okSpanGlobal / 4, s"orderkey span $okSpanMean vs $okSpanGlobal")
+    assert(pkSpanMean < pkSpanGlobal / 4, s"partkey span $pkSpanMean vs $pkSpanGlobal")
+  }
+
   test("stream_late_events equals a brute-force per-partition watermark replay") {
     val evs = Tables.events(spark, sf())
       .selectExpr("user_id % 8 AS part", "event_id", "unix_micros(ts) AS tsu")

@@ -22,6 +22,7 @@ class PlanQualitySpec extends SparkSpec {
     "ts_gapfill_locf",     // 1-row bounds aggregate crossed into the grid generator
     "ts_resample_interp",  // same 1-row bounds cross as ts_gapfill_locf's grid
     "scd2_asof_lookup",    // 1-row bounds aggregate crossed into the probe generator
+    "zorder_layout",       // 1-row min/max bounds crossed in for rank normalization
     "tpch_q11",            // 1-row global-total threshold crossed into the grouped frame
     "tpch_q22")            // 1-row avg-balance scalar crossed into the customer subset
     // dedup_embedding was allowlisted through r2 (all-pairs BNLJ); it is
