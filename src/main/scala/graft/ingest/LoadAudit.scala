@@ -1,0 +1,37 @@
+package graft.ingest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Content checksum for load verification — the operational audit a
+  * warehouse importer runs after every batch: prove the rows that
+  * landed in the lake are EXACTLY the rows the source parsed (no
+  * silent truncation, duplication, or re-type on the way through a
+  * sink/round-trip).
+  *
+  * The checksum is bit_xor over per-row xxhash64 of every column in
+  * name order — order-INDEPENDENT (rows arrive in any partition
+  * order), distributed (partial-aggregable, one scalar out), and
+  * type-sensitive (xxhash64 hashes the typed value, so a silent
+  * long→string re-type changes the sum). XOR's known blind spot —
+  * an even number of identical duplicate rows cancels out — is
+  * covered by comparing row COUNTS alongside (the audit compares
+  * (n, checksum) pairs, never the checksum alone).
+  */
+object LoadAudit {
+
+  final case class Audit(nRows: Long, checksum: Long)
+
+  def audit(df: DataFrame): Audit = {
+    val cols = df.columns.sorted.map(col).toIndexedSeq
+    val row = df
+      .agg(count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64(cols: _*)), lit(0L)).as("cs"))
+      .head()
+    Audit(row.getLong(0), row.getLong(1))
+  }
+
+  /** True iff `landed` holds exactly the content of `source`. */
+  def verified(source: DataFrame, landed: DataFrame): Boolean =
+    audit(source) == audit(landed)
+}
