@@ -150,5 +150,77 @@ object LlmOpsPipeline {
       .orderBy(col("status").asc_nulls_first)
   }
 
-  val all: Seq[Q] = Seq(pipelineCurate, dedupContamination)
+  /** Incremental-ingestion dedup — the growing-corpus shape: every new
+    * BATCH doc (doc_id ≥ 250) is checked against the existing CORPUS
+    * (doc_id < 250) and rejected if its 3-gram Jaccard vs some corpus
+    * doc is ≥ 0.5; the emitted decision names the best corpus match
+    * (max Jaccard, ties → lowest corpus doc_id). Candidates come from
+    * the distinct-shingle equi-join (J ≥ 0.5 ⇒ a shared shingle ⇒
+    * recall 1 — no minhash probability), restricted to batch×corpus
+    * pairs so cost ∝ cross-set shingle collisions, never batch×corpus
+    * row pairs; at real scale the ultra-common shingles are df-pruned
+    * exactly as dedup_ngram_jaccard documents.
+    */
+  val dedupIncremental: Q = Q(
+    "dedup_incremental",
+    """WITH tk AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |           generate_series(1, greatest(len(t) - 2, 0)),
+      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      |  FROM tk
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT b.doc_id AS bid, c.doc_id AS cid, count(*) AS i
+      |  FROM sh b JOIN sh c ON b.s = c.s
+      |  WHERE b.doc_id >= 250 AND c.doc_id < 250
+      |  GROUP BY 1, 2
+      |), scored AS (
+      |  SELECT bid, cid,
+      |         round(CAST(i AS DOUBLE) / (sb.n + sc.n - i), 6) AS jaccard
+      |  FROM inter
+      |  JOIN sizes sb ON bid = sb.doc_id
+      |  JOIN sizes sc ON cid = sc.doc_id
+      |  WHERE CAST(i AS DOUBLE) / (sb.n + sc.n - i) >= 0.5
+      |), best AS (
+      |  SELECT bid, cid, jaccard,
+      |         row_number() OVER (PARTITION BY bid
+      |                            ORDER BY jaccard DESC, cid ASC) AS rk
+      |  FROM scored
+      |)
+      |SELECT bid AS batch_doc, cid AS corpus_match, jaccard
+      |FROM best WHERE rk = 1
+      |ORDER BY batch_doc NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val sh = T.documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          """transform(slice(sequence(1, greatest(size(t) - 2, 1)), 1, greatest(size(t) - 2, 0)),
+             i -> concat_ws(' ', element_at(t, i), element_at(t, i+1), element_at(t, i+2)))"""
+        ))).as("s"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.filter(col("doc_id") >= 250).as("b")
+      .join(sh.filter(col("doc_id") < 250).as("c"), col("b.s") === col("c.s"))
+      .groupBy(col("b.doc_id").as("bid"), col("c.doc_id").as("cid"))
+      .agg(count(lit(1)).as("i"))
+    val jac = col("i").cast("double") / (col("sb.n") + col("sc.n") - col("i"))
+    val scored = inter
+      .join(sizes.as("sb"), col("bid") === col("sb.doc_id"))
+      .join(sizes.as("sc"), col("cid") === col("sc.doc_id"))
+      .filter(jac >= 0.5)
+      .select(col("bid"), col("cid"), round(jac, 6).as("jaccard"))
+    val w = Window.partitionBy(col("bid"))
+      .orderBy(col("jaccard").desc, col("cid").asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("bid").as("batch_doc"), col("cid").as("corpus_match"),
+        col("jaccard"))
+      .orderBy(col("batch_doc").asc_nulls_first)
+  }
+
+  val all: Seq[Q] = Seq(pipelineCurate, dedupContamination, dedupIncremental)
 }

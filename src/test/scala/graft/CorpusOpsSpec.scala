@@ -110,6 +110,37 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("dedup_incremental equals brute-force batch-vs-corpus Jaccard at sf0.01") {
+    val docs = Tables.documents(spark, sf("sf0.01"))
+      .selectExpr("doc_id", "lower(text) AS text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def shingles(text: String): Set[String] = {
+      val t = text.split(" ", -1)
+      if (t.length < 3) Set.empty
+      else t.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sh = docs.map { case (id, tx) => id -> shingles(tx) }.toMap
+    val corpus = docs.map(_._1).filter(_ < 250)
+    val batch = docs.map(_._1).filter(_ >= 250)
+    val brute = batch.flatMap { b =>
+      val cands = corpus.flatMap { c =>
+        val i = (sh(b) & sh(c)).size
+        val u = sh(b).size + sh(c).size - i
+        if (u > 0 && i.toDouble / u >= 0.5)
+          Some((c, BigDecimal(i.toDouble / u).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble))
+        else None
+      }
+      if (cands.isEmpty) None
+      else Some(b -> cands.maxBy { case (c, j) => (j, -c) })
+    }.toMap
+    val got = graft.queries.LlmOpsPipeline.dedupIncremental
+      .fn(spark, sf("sf0.01")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got === brute)
+    assert(got.nonEmpty, "no incremental dups found — threshold arm not exercised")
+  }
+
   test("b1_json_rejects splits 8 valid / 3 rejects; extra fields are not rejects") {
     val rows = NoOracle.jsonRejects.fn(spark, sf()).collect()
       .map(r => (r.getString(0), Option(r.getString(1)), r.getString(2)))
