@@ -295,6 +295,22 @@ class BehaviorSpec extends SparkSpec {
     assert(pkSpanMean < pkSpanGlobal / 4, s"partkey span $pkSpanMean vs $pkSpanGlobal")
   }
 
+  test("the SQL Morton interleave is a bijection on the full 16x16 rank domain") {
+    // pin the QUERY's interleave expression (not the test helper): all
+    // 256 (na, nb) rank pairs must map to 256 distinct z-cells in [0, 256)
+    import spark.implicits._
+    val sparkZ = ((0 until 4).map(i =>
+      s"((shiftright(na, $i) & 1) * ${1L << (2 * i + 1)}L)") ++
+      (0 until 4).map(i =>
+        s"((shiftright(nb, $i) & 1) * ${1L << (2 * i)}L)")).mkString(" + ")
+    val cells = (for { a <- 0 until 16; b <- 0 until 16 } yield (a.toLong, b.toLong))
+      .toDF("na", "nb")
+      .selectExpr(s"CAST($sparkZ AS BIGINT) AS z")
+      .collect().map(_.getLong(0))
+    assert(cells.distinct.length === 256)
+    assert(cells.min === 0L && cells.max === 255L)
+  }
+
   test("stream_late_events equals a brute-force per-partition watermark replay") {
     val evs = Tables.events(spark, sf())
       .selectExpr("user_id % 8 AS part", "event_id", "unix_micros(ts) AS tsu")
