@@ -136,6 +136,48 @@ object StreamingBatch {
       .orderBy(col("part").asc_nulls_first)
   }
 
+  /** Spark's NATIVE session_window operator in batch — a different
+    * physical plan (UpdatingSessions + merging aggregate) from
+    * stream_session_batch's gaps-and-islands windows, pinned against
+    * the same independent oracle formulation: a session covers
+    * [first event, last event + gap), and an event exactly at
+    * last + 30 min starts a NEW session (>= in the island flag). The
+    * two rows together prove the native operator and the portable SQL
+    * idiom agree row-for-row.
+    */
+  val streamSessionNative: Q = Q(
+    "stream_session_native",
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+      |              OR lag(ts) OVER w IS NULL
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sessions AS (
+      |  SELECT user_id, ts,
+      |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      |  FROM flagged
+      |)
+      |SELECT user_id,
+      |       CAST(min(ts) AS TIMESTAMP) AS session_start,
+      |       CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+      |       count(*) AS n_events
+      |FROM sessions
+      |GROUP BY user_id, sid
+      |ORDER BY user_id NULLS FIRST, session_start NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    T.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id").asc_nulls_first, col("session_start").asc_nulls_first)
+  }
+
   val all: Seq[Q] = Seq(streamTumblingBatch, streamSlidingBatch, streamSessionBatch,
-    streamLateEvents)
+    streamLateEvents, streamSessionNative)
 }

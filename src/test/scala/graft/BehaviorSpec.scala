@@ -295,6 +295,21 @@ class BehaviorSpec extends SparkSpec {
     assert(pkSpanMean < pkSpanGlobal / 4, s"partkey span $pkSpanMean vs $pkSpanGlobal")
   }
 
+  test("native session_window equals the gaps-and-islands formulation row-for-row") {
+    val native = graft.queries.StreamingBatch.streamSessionNative.fn(spark, sf())
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
+        r.getLong(3))).toSet
+    // independent recompute from the gaps-and-islands row: start=min(ts),
+    // end=max(ts)+gap, count — the same contract the oracle pins
+    val islands = graft.queries.StreamingBatch.streamSessionBatch.fn(spark, sf())
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(3).getTime,
+        r.getTimestamp(4).getTime + 1800000L, r.getLong(2))).toSet
+    assert(native === islands)
+    assert(native.nonEmpty)
+  }
+
   test("the SQL Morton interleave is a bijection on the full 16x16 rank domain") {
     // pin the QUERY's interleave expression (not the test helper): all
     // 256 (na, nb) rank pairs must map to 256 distinct z-cells in [0, 256)
