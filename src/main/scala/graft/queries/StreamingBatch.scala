@@ -51,9 +51,11 @@ object StreamingBatch {
   }
 
   /** Per-user session windows with a 30-minute gap — gaps-and-islands.
-    * A gap of EXACTLY 30 min starts a new session (>=), matching
-    * Structured Streaming's session_window semantics where a window
-    * covers [start, last_event + gap).
+    * This row DECLARES that a gap of exactly 30 min starts a new
+    * session (>=). Boundary note (measured, BoundarySpec): Spark's
+    * native session_window instead MERGES the exact-gap event — see
+    * stream_session_native, whose oracle uses strict >. The two
+    * formulations differ only on that measure-zero boundary.
     */
   val streamSessionBatch: Q = Q(
     "stream_session_batch",
@@ -138,18 +140,20 @@ object StreamingBatch {
 
   /** Spark's NATIVE session_window operator in batch — a different
     * physical plan (UpdatingSessions + merging aggregate) from
-    * stream_session_batch's gaps-and-islands windows, pinned against
-    * the same independent oracle formulation: a session covers
-    * [first event, last event + gap), and an event exactly at
-    * last + 30 min starts a NEW session (>= in the island flag). The
-    * two rows together prove the native operator and the portable SQL
-    * idiom agree row-for-row.
+    * stream_session_batch's gaps-and-islands windows. Boundary pin
+    * (BoundarySpec, crafted exact-gap corpus): the native operator
+    * MERGES an event arriving exactly gap after the last one — a new
+    * session opens only at gap STRICTLY greater than 30 min — so this
+    * oracle uses `>` where stream_session_batch's portable idiom
+    * declares `>=`. The two rows agree everywhere except that
+    * measure-zero boundary (µs-resolution telemetry never lands on
+    * it), and each row's oracle matches ITS semantics exactly.
     */
   val streamSessionNative: Q = Q(
     "stream_session_native",
     """WITH flagged AS (
       |  SELECT user_id, event_id, ts,
-      |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+      |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
       |              OR lag(ts) OVER w IS NULL
       |              THEN 1 ELSE 0 END AS new_session
       |  FROM events

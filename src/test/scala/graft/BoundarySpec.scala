@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Boundary-semantics pins: crafted event tables fed through the REAL
+  * declared query functions (the fns read `$dir/events.parquet`, so a
+  * crafted dir exercises the exact production code path). The DuckDB
+  * oracle proves Spark and DuckDB AGREE; these tests pin that the
+  * agreed semantics are the INTENDED ones at the exact boundaries —
+  * an off-by-one both engines shared would pass the oracle but fail
+  * here.
+  */
+class BoundarySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Write a crafted events table; ts arrives as INT64 nanos exactly
+    * like the driver fixture (Tables.events normalizes via div 1000).
+    */
+  private def eventsDir(rows: Seq[(Long, Long, Long, String, Double)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_boundary").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private val H = 3600000000000L // 1 hour in nanos
+
+  test("join_asof_tolerance: a click EXACTLY 1 h old is kept; 1 µs older is nulled") {
+    val d = eventsDir(Seq(
+      (1L, 0L, 7L, "click", 0.0),
+      (2L, H, 7L, "purchase", 0.0),          // age exactly 1 h → kept
+      (3L, H + 1000L, 7L, "purchase", 0.0))) // 1 µs past tolerance → NULL
+    val got = graft.queries.Joins.joinAsofTolerance.fn(spark, d).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    assert(got === Map(2L -> Some(1L), 3L -> None))
+  }
+
+  test("ts_rolling_1h: an event EXACTLY 1 h back is inside the frame; 1 µs further is not") {
+    val d = eventsDir(Seq(
+      (1L, 0L, 1L, "cpu", 1.0),
+      (2L, H, 1L, "cpu", 1.0),            // window [t2 − 1 h, t2] includes e1
+      (3L, 2 * H + 1000L, 1L, "cpu", 1.0))) // e2 is 1 h + 1 µs back → excluded
+    val got = graft.queries.TimeSeriesOps.tsRolling1h.fn(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("session windows: the exact-30-min gap splits in the islands idiom, MERGES natively") {
+    // measured divergence this spec exists to pin: Spark's native
+    // session_window merges an event arriving EXACTLY gap after the
+    // last (new session only at gap > 30 min), while the portable
+    // gaps-and-islands row declares >= — each row's oracle matches its
+    // own semantics; they differ only on this measure-zero boundary
+    val G = 1800000000000L // 30 min in nanos
+    val d = eventsDir(Seq(
+      (1L, 0L, 5L, "view", 0.0),
+      (2L, G - 1000L, 5L, "view", 0.0), // 30 min − 1 µs after e1 → same session (both)
+      (3L, 2 * G - 1000L, 5L, "view", 0.0), // exactly 30 min after e2 → islands split, native merges
+      (4L, 3 * G, 5L, "view", 0.0)))    // 30 min + 1 µs after e3 → new session (both)
+    val islands = graft.queries.StreamingBatch.streamSessionBatch.fn(spark, d)
+      .collect().map(_.getLong(2))
+    assert(islands.toSeq.sorted === Seq(1L, 1L, 2L),
+      s"islands sessions: ${islands.toSeq}")
+    val native = graft.queries.StreamingBatch.streamSessionNative.fn(spark, d)
+      .collect().map(_.getLong(3))
+    assert(native.toSeq.sorted === Seq(1L, 3L),
+      s"native sessions: ${native.toSeq}")
+  }
+
+  test("scd2_asof_lookup: a probe EXACTLY at valid_from sees the NEW state") {
+    // bounds [0, 4 h] put probe 1 exactly at 1 h; the state flips to
+    // 'beta' by an event at exactly 1 h — inclusive boundary → 'beta'
+    val d = eventsDir(Seq(
+      (1L, 0L, 2L, "alpha", 0.0),
+      (2L, H, 2L, "beta", 0.0),
+      (3L, 4L * H, 2L, "alpha", 0.0)))
+    val got = graft.queries.TimeSeriesOps.scd2AsofLookup.fn(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(3)).toMap
+    assert(got((2L, 1)) === "beta", "probe at the exact interval start is inclusive")
+    assert(got((2L, 2)) === "beta")
+    assert(got((2L, 3)) === "beta")
+  }
+
+  test("stream_tumbling_batch: an event EXACTLY on the hour lands in the NEW bucket") {
+    val d = eventsDir(Seq(
+      (1L, H - 1000L, 3L, "view", 0.0), // 1 µs before the hour → bucket 0
+      (2L, H, 3L, "view", 0.0)))        // exactly on the hour → bucket 1
+    val got = graft.queries.StreamingBatch.streamTumblingBatch.fn(spark, d)
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(2)))
+    assert(got.length === 2 && got.forall(_._2 == 1L),
+      s"hour-boundary event must open its own bucket: ${got.toSeq}")
+  }
+}
