@@ -27,6 +27,15 @@ class BoundarySpec extends SparkSpec {
 
   private val H = 3600000000000L // 1 hour in nanos
 
+  /** Write a crafted documents table (schema matches the driver fixture). */
+  private def documentsDir(rows: Seq[(Long, String, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_boundary_docs").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
   test("join_asof_tolerance: a click EXACTLY 1 h old is kept; 1 µs older is nulled") {
     val d = eventsDir(Seq(
       (1L, 0L, 7L, "click", 0.0),
@@ -82,6 +91,41 @@ class BoundarySpec extends SparkSpec {
     assert(got((2L, 1)) === "beta", "probe at the exact interval start is inclusive")
     assert(got((2L, 2)) === "beta")
     assert(got((2L, 3)) === "beta")
+  }
+
+  test("dedup_incremental: Jaccard EXACTLY 0.5 is flagged; below is not") {
+    // corpus doc 1 vs batch doc 250: shingle sets {abc,bcd,cde} vs
+    // {abc,bcd,cdf} → i=2, u=4 → J = 2/4 = 0.5 exactly (0.5 is exact in
+    // binary, so the >= threshold fires identically in both engines);
+    // batch doc 251 shares 1 of 5 shingles → J = 0.2 → not flagged
+    val d = documentsDir(Seq(
+      (1L, "a b c d e", "en", "src0"),
+      (250L, "a b c d f", "en", "src0"),
+      (251L, "a b x y z", "en", "src0")))
+    val got = graft.queries.LlmOpsPipeline.dedupIncremental.fn(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((250L, 1L, 0.5)),
+      s"exact-threshold pair must be flagged, sub-threshold must not: ${got.toSeq}")
+  }
+
+  test("k_anonymity: a QI group of EXACTLY k=5 is safe; 4 is at risk") {
+    val five = (1L to 5L).map(i => (i, "doc", "en", "src0"))
+    val four = (11L to 14L).map(i => (i, "doc", "de", "src1"))
+    val d = documentsDir(five ++ four)
+    val got = graft.queries.CorpusOps.kAnonymity.fn(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("en") === ((1L, 0L, 0L)), "a group of exactly k is NOT risky")
+    assert(got("de") === ((1L, 1L, 4L)), "a group of k-1 is risky")
+  }
+
+  test("text_entropy: uniform text scores exactly 0; a 50/50 split scores exactly 1") {
+    val d = documentsDir(Seq(
+      (1L, "aaaa", "en", "src0"), // one symbol → H = 0 exactly
+      (2L, "ab", "en", "src0"),   // two equiprobable symbols → H = 1 exactly
+      (3L, "abcd", "en", "src0"))) // four equiprobable → H = 2 exactly
+    val got = graft.queries.CorpusOps.textEntropy.fn(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got === Map(1L -> 0.0, 2L -> 1.0, 3L -> 2.0))
   }
 
   test("stream_tumbling_batch: an event EXACTLY on the hour lands in the NEW bucket") {
