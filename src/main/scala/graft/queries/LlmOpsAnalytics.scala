@@ -65,6 +65,63 @@ object LlmOpsAnalytics {
       .orderBy(col("stage"))
   }
 
+  /** Time-bounded funnel — funnel_steps with conversion windows, the
+    * shape real product analytics runs: the click must land within
+    * 30 min of the user's first view, the purchase within 1 h of that
+    * click. Same aggregate-then-join chain (co-partitioned on user_id,
+    * never a window over the event stream); each stage also reports
+    * the mean conversion delay, one exact-int division per stage.
+    */
+  val funnelTimebound: Q = Q(
+    "funnel_timebound",
+    """WITH v AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS t1
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS t2, min(v.t1) AS t1
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+      |    AND epoch_us(e.ts) <= v.t1 + 1800000000
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS t3, min(c.t2) AS t2
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+      |    AND epoch_us(e.ts) <= c.t2 + 3600000000
+      |  GROUP BY e.user_id)
+      |SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users,
+      |       CAST(0.0 AS DOUBLE) AS avg_delay_sec FROM v
+      |UNION ALL
+      |SELECT 'view>click30m', CAST(count(*) AS BIGINT),
+      |       round(CAST(sum(t2 - t1) AS DOUBLE) / count(*) / 1000000.0, 6) FROM c
+      |UNION ALL
+      |SELECT 'view>click30m>buy1h', CAST(count(*) AS BIGINT),
+      |       round(CAST(sum(t3 - t2) AS DOUBLE) / count(*) / 1000000.0, 6) FROM p
+      |ORDER BY stage""".stripMargin
+  ) { (s, d) =>
+    val ev = T.events(s, d).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("tus"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("tus")).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("tus") > col("t1") && col("tus") <= col("t1") + 1800000000L)
+      .groupBy("user_id").agg(min(col("tus")).as("t2"), min(col("t1")).as("t1"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c.select(col("user_id"), col("t2")), "user_id")
+      .filter(col("tus") > col("t2") && col("tus") <= col("t2") + 3600000000L)
+      .groupBy("user_id").agg(min(col("tus")).as("t3"), min(col("t2")).as("t2"))
+    def stage(df: DataFrame, name: String, delay: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_users"), delay.as("avg_delay_sec"))
+        .select(lit(name).as("stage"), col("n_users"), col("avg_delay_sec"))
+    stage(v, "view", lit(0.0))
+      .unionByName(stage(c, "view>click30m",
+        round(sum(col("t2") - col("t1")).cast("double") / count(lit(1)) / 1000000.0, 6)))
+      .unionByName(stage(p, "view>click30m>buy1h",
+        round(sum(col("t3") - col("t2")).cast("double") / count(lit(1)) / 1000000.0, 6)))
+      .orderBy(col("stage"))
+  }
+
   /** Weekly cohort retention: cohort = epoch-aligned week of the
     * user's first event; a (cohort, offset) cell counts users with any
     * activity that week. Two hash aggregations and one equi-join on
@@ -333,6 +390,6 @@ object LlmOpsAnalytics {
       .orderBy(col("rank").asc_nulls_first)
   }
 
-  val all: Seq[Q] = Seq(funnelSteps, cohortRetention, packSequences,
-    dedupCluster, embeddingQuantize, textRarity)
+  val all: Seq[Q] = Seq(funnelSteps, funnelTimebound, cohortRetention,
+    packSequences, dedupCluster, embeddingQuantize, textRarity)
 }

@@ -457,7 +457,43 @@ object TimeSeriesOps {
       .orderBy(col("event_id").asc_nulls_first)
   }
 
+  /** Hour-of-day seasonal profile — the seasonality sibling of the
+    * z-score/MAD anomaly pair: per (series, hour-of-day UTC), the mean
+    * value and its deviation from the series' overall mean. This is
+    * the baseline a seasonal anomaly detector subtracts before
+    * thresholding. Two aggregation levels, the second a window over
+    * the ≤ 24-row-per-series aggregate; sums are decimal (exact,
+    * order-independent), each output is ONE decimal→double cast + one
+    * division — bit-identical cross-engine.
+    */
+  val tsSeasonalHour: Q = Q(
+    "ts_seasonal_hour",
+    """WITH hr AS (
+      |  SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hod,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         sum(CAST(value AS DECIMAL(18,4))) AS s
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, hod, n,
+      |       round(CAST(s AS DOUBLE) / n, 6) AS hour_avg,
+      |       round(CAST(s AS DOUBLE) / n
+      |             - CAST(sum(s) OVER (PARTITION BY event_type) AS DOUBLE)
+      |               / sum(n) OVER (PARTITION BY event_type), 6) AS dev
+      |FROM hr
+      |ORDER BY event_type NULLS FIRST, hod""".stripMargin
+  ) { (s, d) =>
+    val hr = T.events(s, d)
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n"), sum(T.dec4(col("value"))).as("s"))
+    val w = Window.partitionBy(col("event_type"))
+    val hourAvg = col("s").cast("double") / col("n")
+    val seriesAvg = sum(col("s")).over(w).cast("double") / sum(col("n")).over(w)
+    hr.select(col("event_type"), col("hod"), col("n"),
+        round(hourAvg, 6).as("hour_avg"),
+        round(hourAvg - seriesAvg, 6).as("dev"))
+      .orderBy(col("event_type").asc_nulls_first, col("hod"))
+  }
+
   val all: Seq[Q] =
     Seq(tsGapfillLocf, tsOhlc, scd2Intervals, tsResampleInterp, tsAnomalyZscore,
-      scd2AsofLookup, tsAnomalyMad, tsRolling1h)
+      scd2AsofLookup, tsAnomalyMad, tsRolling1h, tsSeasonalHour)
 }

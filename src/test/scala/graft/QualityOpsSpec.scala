@@ -59,6 +59,37 @@ class QualityOpsSpec extends SparkSpec {
     }
   }
 
+  test("funnel_timebound is a subset of funnel_steps and the windows actually prune") {
+    val bounded = graft.queries.LlmOpsAnalytics.funnelTimebound.fn(spark, sf())
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val free = graft.queries.LlmOpsAnalytics.funnelSteps.fn(spark, sf())
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bounded("view") === free("view"), "stage 1 has no window")
+    assert(bounded("view>click30m") <= free("view>click"))
+    assert(bounded("view>click30m>buy1h") <= free("view>click>purchase"))
+    // the funnel must be monotone and the windows must prune SOMETHING
+    assert(bounded("view") >= bounded("view>click30m"))
+    assert(bounded("view>click30m") >= bounded("view>click30m>buy1h"))
+    assert(bounded("view>click30m") < free("view>click"),
+      "30-min window pruned nothing — bound not exercised by the corpus")
+  }
+
+  test("ts_seasonal_hour: deviations are mean-zero when weighted by counts") {
+    val rows = graft.queries.TimeSeriesOps.tsSeasonalHour.fn(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (et, hs) =>
+      assert(hs.map(_._2).distinct.length === hs.length, s"$et duplicate hours")
+      // Σ n·dev ≈ 0: the profile's weighted deviations cancel by definition
+      val weighted = hs.map(h => h._3 * h._5).sum
+      val total = hs.map(_._3).sum
+      assert(math.abs(weighted / total) < 1e-4, s"$et weighted dev $weighted")
+      // and at least one hour deviates visibly from the series mean
+      assert(hs.exists(h => math.abs(h._5) > 1e-6), s"$et flat profile")
+    }
+  }
+
   test("dq_expectations: clean corpus passes every rule; a dirty table counts violations") {
     val clean = QualityOps.dqExpectations.fn(spark, sf()).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
