@@ -49,7 +49,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_passes":$nPasses,"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_passes":$nPasses,"queries":$qs,"sf":"$sfDir"}"""
+    // The driver's stdout tail captures only the last ~68 timings; the
+    // sidecar file carries the FULL per-query distribution so the whole
+    // bench is auditable (VERDICT r5 item 9). Totals unchanged.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_per_query.json"),
+      line.getBytes("UTF-8"))
+    catch { case _: Throwable => }
+    println(line)
     // The detailed line above can exceed the driver's tail capture (r1:
     // "parsed": null — the head with the total was truncated). A short
     // summary line LAST always survives a tail read.

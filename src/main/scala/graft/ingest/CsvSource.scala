@@ -11,7 +11,16 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   */
 object CsvSource {
 
-  final case class ReadResult(valid: DataFrame, rejects: DataFrame)
+  /** `unpersist()` releases the internal cache backing both branches.
+    * Call it AFTER both `valid` and `rejects` have been materialized
+    * (written / counted): the cache is what guarantees the corrupt
+    * marker is populated consistently across the two branches, so
+    * unpersisting early reverts to per-branch re-parses. In a
+    * long-lived session or bench loop, not calling it leaks one
+    * InMemoryRelation per ingest.
+    */
+  final case class ReadResult(valid: DataFrame, rejects: DataFrame,
+                              unpersist: () => Unit = () => ())
 
   private val CORRUPT = "_graft_corrupt"
 
@@ -34,7 +43,7 @@ object CsvSource {
     val valid = raw.filter(col(CORRUPT).isNull).drop(CORRUPT)
     val rejects = raw.filter(col(CORRUPT).isNotNull)
       .select(col(CORRUPT).as("raw_line"))
-    ReadResult(valid, rejects)
+    ReadResult(valid, rejects, () => { raw.unpersist(); () })
   }
 
   /** Enforce the reject limit the way the reference does per batch:

@@ -169,6 +169,12 @@ object Ingest {
       deduped.write.mode(SaveMode.Append).parquet(target)
     }
 
+    // Both branches of the read are materialized by now (valid via the
+    // write above, rejects via enforceRejectLimit's count) — release
+    // the source cache so a long-running importer doesn't accumulate
+    // one InMemoryRelation per batch.
+    res.unpersist()
+
     // Archive inputs (FS move, driver-side — same as the reference).
     val hconf = spark.sessionState.newHadoopConf()
     val archive = new Path(conf.archiveDir, table)

@@ -14,7 +14,13 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   */
 object JsonSource {
 
-  final case class ReadResult(valid: DataFrame, rejects: DataFrame)
+  /** `unpersist()` releases the internal cache backing both branches —
+    * same contract as [[CsvSource.ReadResult]]: call only after both
+    * branches are materialized; skipping it in a long-lived session
+    * leaks one InMemoryRelation per ingest.
+    */
+  final case class ReadResult(valid: DataFrame, rejects: DataFrame,
+                              unpersist: () => Unit = () => ())
 
   private val CORRUPT = "_graft_corrupt"
 
@@ -32,7 +38,7 @@ object JsonSource {
     val valid = raw.filter(col(CORRUPT).isNull).drop(CORRUPT)
     val rejects = raw.filter(col(CORRUPT).isNotNull)
       .select(col(CORRUPT).as("raw_line"))
-    ReadResult(valid, rejects)
+    ReadResult(valid, rejects, () => { raw.unpersist(); () })
   }
 
   def enforceRejectLimit(r: ReadResult, limit: Long): Long = {

@@ -17,13 +17,23 @@ import org.apache.spark.sql.functions._
   * an even number of identical duplicate rows cancels out — is
   * covered by comparing row COUNTS alongside (the audit compares
   * (n, checksum) pairs, never the checksum alone).
+  *
+  * Null discrimination: xxhash64 passes the running hash through
+  * UNCHANGED for a null input, so hashing bare columns would give
+  * (null,'a') and ('a',null) identical row hashes — a load that
+  * shifted a value across nullable columns would verify. Each column
+  * is therefore hashed as struct(isNull, value): the non-null boolean
+  * always advances the hash, making the null POSITION part of the
+  * checksum.
   */
 object LoadAudit {
 
   final case class Audit(nRows: Long, checksum: Long)
 
   def audit(df: DataFrame): Audit = {
-    val cols = df.columns.sorted.map(col).toIndexedSeq
+    val cols = df.columns.sorted
+      .map(c => struct(col(c).isNull, col(c)))
+      .toIndexedSeq
     val row = df
       .agg(count(lit(1)).as("n"),
         coalesce(bit_xor(xxhash64(cols: _*)), lit(0L)).as("cs"))

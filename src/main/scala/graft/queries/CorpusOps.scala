@@ -45,7 +45,11 @@ object CorpusOps {
     val byLang = T.documents(s, d)
       .groupBy(col("lang"))
       .agg(sum(col("n_chars")).as("chars_g"), count(lit(1)).as("docs_g"))
-    // window over the aggregate: |languages| rows, driver-safe
+    // Unpartitioned window — deliberately kept (unlike dq_freshness,
+    // which was rewritten): the input is the |languages|-row AGGREGATE
+    // and the language axis is bounded by the ISO code space (~200),
+    // not by data volume, so the single window task sees O(100) rows
+    // at any corpus scale.
     val w = Window.partitionBy()
     val weight = least(lit(3.0),
       col("total").cast("double") / (col("n_groups") * col("chars_g")))

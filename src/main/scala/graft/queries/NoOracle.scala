@@ -171,22 +171,38 @@ object NoOracle {
     * join.
     */
   val bucketedJoin: Q = Q.noOracle("b5_bucketed_join") { (s, d) =>
-    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_b5_tables")
+    // Per-run token on table names AND paths: two concurrent sessions
+    // sharing a metastore/tmpdir must not clobber each other's tables
+    // mid-query. The token never appears in the declared output, so the
+    // driver-visible rows stay deterministic.
+    val token = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft_b5_tables_$token")
+    val liTable = s"graft_b5_li_$token"
+    val ordTable = s"graft_b5_ord_$token"
     val li = T.lineitem(s, d).filter(col("l_orderkey") % 10 === 0)
       .select(col("l_orderkey"), col("l_quantity"))
     val ord = T.orders(s, d).filter(col("o_orderkey") % 10 === 0)
       .select(col("o_orderkey"), col("o_orderstatus"))
-    s.sql("DROP TABLE IF EXISTS graft_b5_li")
-    s.sql("DROP TABLE IF EXISTS graft_b5_ord")
     li.write.mode("overwrite").option("path", s"$tmp/li")
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("graft_b5_li")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(liTable)
     ord.write.mode("overwrite").option("path", s"$tmp/ord")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("graft_b5_ord")
-    val joined = s.table("graft_b5_li")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ordTable)
+    val joined = s.table(liTable)
       .hint("merge")
-      .join(s.table("graft_b5_ord"), col("l_orderkey") === col("o_orderkey"))
-    val plan = joined.queryExecution.executedPlan.toString()
-    val noShuffle = !plan.contains("Exchange")
+      .join(s.table(ordTable), col("l_orderkey") === col("o_orderkey"))
+    // Assert the no-shuffle property by walking the physical plan tree
+    // for ShuffleExchangeExec nodes (substring-matching "Exchange" on
+    // toString was brittle — any node NAME containing the word would
+    // flip the flag). AQE wraps the plan, so descend through it.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def hasShuffle(p: SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => hasShuffle(a.executedPlan)
+      case _: ShuffleExchangeLike   => true
+      case other                    => other.children.exists(hasShuffle)
+    }
+    val noShuffle = !hasShuffle(joined.queryExecution.executedPlan)
     joined
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_rows"),
@@ -244,9 +260,12 @@ object NoOracle {
     */
   val loadAudit: Q = Q.noOracle("b1_load_audit") { (s, _) =>
     import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
-    val dir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_b1_audit_fixture")
-    java.nio.file.Files.createDirectories(dir)
+    // Fresh per-invocation dirs, and the lake is a SIBLING of the CSV
+    // source dir (never nested inside it): a rerun must not see its own
+    // parquet output in the CSV source listing (mixed-depth leaf files
+    // fail partition discovery / parse parquet bytes as CSV rows).
+    val dir = java.nio.file.Files.createTempDirectory("graft_b1_audit_src_")
+    val lakeDir = java.nio.file.Files.createTempDirectory("graft_b1_audit_lake_")
     val fixture =
       """id,metric,m_value
         |1,cpu,0.5
@@ -264,7 +283,7 @@ object NoOracle {
       StructField("id", LongType), StructField("metric", StringType),
       StructField("m_value", DoubleType)))
     val res = graft.ingest.CsvSource.read(s, schema, dir.toString)
-    val lake = s"${dir.toString}/lake"
+    val lake = lakeDir.toString
     res.valid.write.mode("overwrite").parquet(lake)
     val landed = s.read.parquet(lake)
     val src = graft.ingest.LoadAudit.audit(res.valid)

@@ -1,6 +1,5 @@
 package graft.queries
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables => T}
 
@@ -15,27 +14,31 @@ object QualityOps {
   /** Per-series freshness: how stale is each event_type relative to
     * the newest event in the table? Staleness is measured against the
     * DATA's max (not wall clock) so the result is deterministic. The
-    * global max comes from a window over the |series|-row aggregate —
-    * never a corpus-level pass.
+    * global max is a 1-row aggregate OVER the per-series aggregate,
+    * broadcast back in — no unpartitioned window, so even when "series"
+    * is host×metric cardinality (10⁶⁺ rows on real telemetry) nothing
+    * funnels through a single task (same idiom as dq_drift_psi's
+    * bounds).
     */
   val dqFreshness: Q = Q(
     "dq_freshness",
     """WITH per AS (
       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
       |         max(epoch_us(ts)) AS last_us
-      |  FROM events GROUP BY event_type)
+      |  FROM events GROUP BY event_type),
+      |g AS (SELECT max(last_us) AS global_max FROM per)
       |SELECT event_type, n,
       |       CAST(last_us AS BIGINT) AS last_us,
-      |       CAST((max(last_us) OVER () - last_us) // 3600000000 AS BIGINT)
+      |       CAST((global_max - last_us) // 3600000000 AS BIGINT)
       |         AS hours_stale
-      |FROM per
+      |FROM per, g
       |ORDER BY event_type NULLS FIRST""".stripMargin
   ) { (s, d) =>
     val per = T.events(s, d)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), max(unix_micros(col("ts"))).as("last_us"))
     per
-      .withColumn("global_max", max(col("last_us")).over(Window.partitionBy()))
+      .crossJoin(broadcast(per.agg(max(col("last_us")).as("global_max"))))
       .select(col("event_type"), col("n"), col("last_us"),
         expr("(global_max - last_us) div 3600000000").as("hours_stale"))
       .orderBy(col("event_type").asc_nulls_first)
@@ -49,7 +52,13 @@ object QualityOps {
     * (PSI < 0.1 stable, > 0.25 shifted). Bucket bounds come from a
     * 1-row global aggregate broadcast into the scan (allowlisted, same
     * pattern as zorder_layout); every per-bucket ratio is one exact
-    * division, ln + round(…,6) as in text_tfidf.
+    * division, ln + round(…,6) as in text_tfidf. The term sum runs over
+    * the FULL 0-9 bucket grid per series (observed counts left-joined
+    * onto series×bucket, absent buckets = 0), so a bucket empty in both
+    * halves still contributes its smoothed p−q term when the half sizes
+    * differ — the documented 10-bucket smoothed PSI, not an
+    * observed-buckets-only approximation. A constant-valued corpus
+    * (v1 = v0) degenerates to bucket 0 instead of 0.0/0.0 NaN.
     */
   val dqDriftPsi: Q = Q(
     "dq_drift_psi",
@@ -60,8 +69,9 @@ object QualityOps {
       |bucketed AS (
       |  SELECT event_type,
       |         CASE WHEN epoch_us(ts) < (t0 + t1) // 2 THEN 0 ELSE 1 END AS half,
-      |         least(9, CAST(floor((value - v0) * 10.0 / (v1 - v0)) AS BIGINT))
-      |           AS bucket
+      |         CASE WHEN v1 = v0 THEN 0 ELSE
+      |           least(9, CAST(floor((value - v0) * 10.0 / (v1 - v0)) AS BIGINT))
+      |         END AS bucket
       |  FROM events, bounds),
       |cnt AS (
       |  SELECT event_type, bucket,
@@ -73,14 +83,20 @@ object QualityOps {
       |         CAST(sum(n_old) AS BIGINT) AS t_old,
       |         CAST(sum(n_new) AS BIGINT) AS t_new
       |  FROM cnt GROUP BY 1),
+      |grid AS (
+      |  SELECT tot.event_type, b.bucket, t_old, t_new,
+      |         coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+      |  FROM tot CROSS JOIN (SELECT * FROM range(10) t(bucket)) b
+      |  LEFT JOIN cnt ON cnt.event_type = tot.event_type
+      |              AND cnt.bucket = b.bucket),
       |terms AS (
-      |  SELECT cnt.event_type,
+      |  SELECT event_type,
       |         (CAST(n_old + 1 AS DOUBLE) / (t_old + 10)
       |          - CAST(n_new + 1 AS DOUBLE) / (t_new + 10))
       |         * ln((CAST(n_old + 1 AS DOUBLE) / (t_old + 10))
       |              / (CAST(n_new + 1 AS DOUBLE) / (t_new + 10))) AS term,
       |         n_old, n_new
-      |  FROM cnt JOIN tot ON cnt.event_type = tot.event_type)
+      |  FROM grid)
       |SELECT event_type, round(sum(term), 6) AS psi,
       |       CAST(sum(n_old) AS BIGINT) AS n_old,
       |       CAST(sum(n_new) AS BIGINT) AS n_new
@@ -96,17 +112,28 @@ object QualityOps {
       .select(col("event_type"),
         when(unix_micros(col("ts")) < expr("(t0 + t1) div 2"), 0).otherwise(1)
           .as("half"),
-        least(lit(9L),
-          floor((col("value") - col("v0")) * 10.0 / (col("v1") - col("v0")))
-            .cast("long")).as("bucket"))
-    val cnt = bucketed.groupBy(col("event_type"), col("bucket"))
-      .agg(count(when(col("half") === 0, 1)).as("n_old"),
-        count(when(col("half") === 1, 1)).as("n_new"))
-    val tot = cnt.groupBy(col("event_type").as("tk"))
-      .agg(sum(col("n_old")).as("t_old"), sum(col("n_new")).as("t_new"))
+        when(col("v1") === col("v0"), lit(0L)).otherwise(
+          least(lit(9L),
+            floor((col("value") - col("v0")) * 10.0 / (col("v1") - col("v0")))
+              .cast("long"))).as("bucket"))
+    val cnt = bucketed.groupBy(col("event_type").as("ck"), col("bucket").as("cb"))
+      .agg(count(when(col("half") === 0, 1)).as("cn_old"),
+        count(when(col("half") === 1, 1)).as("cn_new"))
+    val tot = cnt.groupBy(col("ck").as("event_type"))
+      .agg(sum(col("cn_old")).as("t_old"), sum(col("cn_new")).as("t_new"))
+    // Full series×bucket grid: the 10-row bucket axis is a broadcast
+    // literal, tot is |series| rows — the left join fills unobserved
+    // buckets with 0 so their smoothed terms are not silently dropped.
+    val grid = tot
+      .crossJoin(broadcast(s.range(0, 10).select(col("id").as("bucket"))))
+      .join(cnt, col("ck") === col("event_type") && col("cb") === col("bucket"),
+        "left")
+      .select(col("event_type"), col("t_old"), col("t_new"),
+        coalesce(col("cn_old"), lit(0L)).as("n_old"),
+        coalesce(col("cn_new"), lit(0L)).as("n_new"))
     val p = (col("n_old") + 1).cast("double") / (col("t_old") + 10)
     val q = (col("n_new") + 1).cast("double") / (col("t_new") + 10)
-    cnt.join(tot, col("event_type") === col("tk"))
+    grid
       .select(col("event_type"), ((p - q) * log(p / q)).as("term"),
         col("n_old"), col("n_new"))
       .groupBy(col("event_type"))

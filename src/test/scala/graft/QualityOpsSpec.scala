@@ -39,7 +39,9 @@ class QualityOpsSpec extends SparkSpec {
       val bucketOf = (v: Double) =>
         math.min(9L, math.floor((v - v0) * 10.0 / (v1 - v0)).toLong)
       val old = rows.filter(_._2 < mid); val nw = rows.filter(_._2 >= mid)
-      val buckets = rows.map(r => bucketOf(r._3)).distinct
+      // full 0-9 grid, not observed-only: a bucket empty in both halves
+      // still contributes its smoothed term when |old| != |new|
+      val buckets = 0L until 10L
       val tOld = old.size; val tNew = nw.size
       val psi = buckets.map { b =>
         val p = (old.count(r => bucketOf(r._3) == b) + 1).toDouble / (tOld + 10)
