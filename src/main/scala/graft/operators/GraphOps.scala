@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components via alternating large-star /
+  * small-star contraction — the published O(log² n)-round MapReduce
+  * algorithm (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii:
+  * "Connected Components in MapReduce and Beyond", SoCC 2014). Each
+  * round is two aggregate-then-join-back passes over the edge list —
+  * map-side-combinable min per node, equi-join back, no windows, no
+  * driver-side graph — so the per-round plan is the same shape the
+  * rest of the dedup family uses, and the ROUND COUNT no longer
+  * depends on component diameter: template-spam corpora with
+  * chain-shaped near-dup components (diameter in the hundreds at
+  * 100 TB) converge in a handful of rounds instead of one full pass
+  * per hop (VERDICT r5 item 2; replaced the r5 min-label fixpoint
+  * whose round count was O(diameter)).
+  */
+object GraphOps {
+
+  /** `labels`: (node BIGINT, label BIGINT) for every node incident to
+    * an edge, label = component minimum. Isolated nodes never appear —
+    * callers coalesce to the node id. `rounds` = contraction rounds
+    * actually executed (spec-asserted ≪ diameter on chains).
+    */
+  final case class CcResult(labels: DataFrame, rounds: Int)
+
+  /** Large-star: for each node u with m = min(Γ(u) ∪ {u}), connect
+    * every LARGER neighbor v > u directly to m. Input/output edges are
+    * canonical (a > b); the symmetric view exists only inside the
+    * round.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v")))
+    val mins = sym.groupBy(col("u").as("mk")).agg(min(col("v")).as("mv"))
+    sym.join(mins, col("u") === col("mk"))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("a"), least(col("mv"), col("u")).as("b"))
+      .filter(col("a") =!= col("b"))
+    // no distinct here: duplicate edges don't change smallStar's min
+    // aggregates, and smallStar dedupes at the end of the round — one
+    // fewer shuffle per round
+  }
+
+  /** Small-star: edges arrive pointing large→small (a > b); for each
+    * node a with m = min of its smaller neighbors, re-point every
+    * smaller neighbor AND a itself at m.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy(col("a").as("mk")).agg(min(col("b")).as("m"))
+    val moved = e.join(mins, col("a") === col("mk"))
+      .select(col("b").as("x"), col("m"))
+    val self = mins.select(col("mk").as("x"), col("m"))
+    moved.union(self)
+      .filter(col("x") =!= col("m"))
+      .select(col("x").as("a"), col("m").as("b"))
+      .distinct()
+  }
+
+  /** Run the contraction to its fixpoint. `edges` needs columns
+    * (a, b); direction and duplicates are normalized here. Convergence
+    * is an exact edge-SET comparison proxy — (count, xor of per-edge
+    * xxhash64) — between consecutive rounds: at the fixpoint both
+    * stars are identities, and every component is a star centered at
+    * its minimum, so each node's single min-neighbor IS its label.
+    * `maxRounds` is a loud-failure guard (the algorithm's bound is
+    * O(log² n), so 60 rounds ≈ graphs far beyond any real corpus; a
+    * trip means a bug, not a big input).
+    */
+  def starContract(edges: DataFrame, maxRounds: Int = 60): CcResult = {
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L)).as("h")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var cur = edges
+      .select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var curSig = sig(cur)
+    var rounds = 0
+    var fixed = curSig._1 == 0L
+    while (!fixed) {
+      rounds += 1
+      if (rounds > maxRounds)
+        throw new IllegalStateException(
+          s"starContract: no fixpoint after $maxRounds rounds " +
+            s"(edges=${curSig._1}) — O(log² n) bound exceeded, " +
+            "suspect an edge-generation bug")
+      // localCheckpoint truncates lineage so the plan stays O(1) per
+      // round instead of growing with the iteration count
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val nextSig = sig(next)
+      if (nextSig == curSig) fixed = true
+      cur = next; curSig = nextSig
+    }
+    val labels = cur.groupBy(col("a").as("node")).agg(min(col("b")).as("label"))
+    CcResult(labels, rounds)
+  }
+}

@@ -85,6 +85,48 @@ class AnalyticsSpec extends SparkSpec {
       "fixpoint label propagation disagrees with union-find components")
   }
 
+  test("starContract: 300-node chain (diameter 300) converges in log-bounded rounds") {
+    import spark.implicits._
+    // path graph 0-1-2-…-299: the r5 min-label fixpoint needed ~300
+    // rounds here; large-star/small-star must land in O(log² n)
+    val chain = (1L until 300L).map(i => (i, i - 1)).toDF("a", "b")
+    val res = graft.operators.GraphOps.starContract(chain)
+    assert(res.rounds <= 12,
+      s"rounds=${res.rounds} — not log-bounded for a diameter-300 chain")
+    val labels = res.labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length === 299, "every non-root node gets a label")
+    assert(labels.forall(_._2 == 0L), "component minimum is the label")
+  }
+
+  test("starContract: maxRounds guard fails loudly, random graph matches union-find") {
+    import spark.implicits._
+    import scala.collection.mutable
+    val chain = (1L until 100L).map(i => (i, i - 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      graft.operators.GraphOps.starContract(chain, maxRounds = 1)
+    }
+    // seeded random graph: 400 nodes, 300 edges → many nontrivial
+    // components; exact parity with a driver-side union-find
+    val rnd = new scala.util.Random(7)
+    val es = Seq.fill(300)((rnd.nextInt(400).toLong, rnd.nextInt(400).toLong))
+      .filter { case (a, b) => a != b }
+    val parent = mutable.Map((0L until 400L).map(i => i -> i): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = (0L until 400L).map(i => i -> find(i))
+      .filter { case (n, l) => n != l }.toSet
+    val got = graft.operators.GraphOps.starContract(es.toDF("a", "b")).labels
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // starContract labels only nodes incident to an edge; restrict the
+    // union-find view the same way (isolated or root nodes excluded)
+    val incident = es.flatMap(e => Seq(e._1, e._2)).toSet
+    val expectedIncident = expected.filter(p => incident.contains(p._1))
+    assert(got === expectedIncident)
+  }
+
   test("embedding_quantize: q_sum within int8 bounds, saturation present") {
     val rows = LlmOpsAnalytics.embeddingQuantize.fn(spark, sf()).collect()
     assert(rows.length > 0)
