@@ -35,13 +35,20 @@ object Tables {
     * 4.x refuses by default (PARQUET_TYPE_ILLEGAL). Read it as Long nanos
     * via the legacy conf (runtime-settable) and normalize to a proper
     * microsecond TimestampType column `ts` (FIXTURES.md, SURVEY §2 D5).
+    * Synthesized scale-up dirs (graft.ScaleUp) carry `ts` as
+    * TIMESTAMP(MICROS) already — Spark cannot write nanos — so the
+    * normalization applies only when the raw column is the nanos long.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // `div` = integer division on longs; `/` would round-trip through
-    // double and lose sub-µs bits (epoch-nanos ≈ 1.7e18 > 2^53).
-    tbl(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = tbl(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // `div` = integer division on longs; `/` would round-trip through
+        // double and lose sub-µs bits (epoch-nanos ≈ 1.7e18 > 2^53).
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
   }
 
   /** D2: money doubles → DECIMAL(18,2) before any arithmetic/aggregation. */

@@ -23,6 +23,9 @@ object TimeQ {
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       val times = (1 to 3).map { _ =>
+        // caching queries (text_langid, b6 LSH) must not serve runs
+        // 2..3 from the CacheManager — same policy as Bench's passes
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9

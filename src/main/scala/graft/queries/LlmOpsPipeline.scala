@@ -194,31 +194,14 @@ object LlmOpsPipeline {
       |FROM best WHERE rk = 1
       |ORDER BY batch_doc NULLS FIRST""".stripMargin
   ) { (s, d) =>
-    val sh = T.documents(s, d)
-      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
-      .select(col("doc_id"),
-        explode(array_distinct(expr(
-          """transform(slice(sequence(1, greatest(size(t) - 2, 1)), 1, greatest(size(t) - 2, 0)),
-             i -> concat_ws(' ', element_at(t, i), element_at(t, i+1), element_at(t, i+2)))"""
-        ))).as("s"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.filter(col("doc_id") >= 250).as("b")
-      .join(sh.filter(col("doc_id") < 250).as("c"), col("b.s") === col("c.s"))
-      .groupBy(col("b.doc_id").as("bid"), col("c.doc_id").as("cid"))
-      .agg(count(lit(1)).as("i"))
-    val jac = col("i").cast("double") / (col("sb.n") + col("sc.n") - col("i"))
-    val scored = inter
-      .join(sizes.as("sb"), col("bid") === col("sb.doc_id"))
-      .join(sizes.as("sc"), col("cid") === col("sc.doc_id"))
-      .filter(jac >= 0.5)
-      .select(col("bid"), col("cid"), round(jac, 6).as("jaccard"))
-    val w = Window.partitionBy(col("bid"))
-      .orderBy(col("jaccard").desc, col("cid").asc)
-    scored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("bid").as("batch_doc"), col("cid").as("corpus_match"),
-        col("jaccard"))
+    // decision core factored into graft.operators.IncrementalDedup so
+    // the cross-batch algebra (accepted docs join the corpus, rejected
+    // docs never re-enter) is property-tested in IncrementalDedupSpec
+    val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+    graft.operators.IncrementalDedup.matches(
+        corpus = docs.filter(col("doc_id") < 250),
+        batch = docs.filter(col("doc_id") >= 250),
+        threshold = 0.5)
       .orderBy(col("batch_doc").asc_nulls_first)
   }
 
