@@ -459,7 +459,19 @@ object LlmOpsAnn {
          |) WHERE rank <= 5
          |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
     }
-  ) { (s, d) =>
+  ) { (s, d) => ivfKmeansSearch(s, d, nIter = 1) }
+
+  /** The kmeans-IVF pipeline behind ann_ivf_kmeans with the Lloyd
+    * iteration count exposed (VERDICT r5 item 7): the DECLARED row
+    * pins nIter=1 (oracle unchanged); IvfRecallSpec additionally pins
+    * recall@5 ≥ 0.9 at nIter=3. Each iteration is the same
+    * partial-aggregable assign (broadcast argmax) + exact-decimal
+    * per-dimension mean; centroids are localCheckpoint'ed per
+    * iteration so the plan stays O(1)-deep in nIter.
+    */
+  def ivfKmeansSearch(s: org.apache.spark.sql.SparkSession, d: String,
+                      nIter: Int, nprobe: Int = 8): DataFrame = {
+    require(nIter >= 1, s"ivfKmeansSearch: nIter must be >= 1, got $nIter")
     val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val kRow = e.agg(ceil(sqrt(count(lit(1)))).cast("long").as("k"))
     val cent0 = e.crossJoin(broadcast(kRow)).filter(col("vec_id") < col("k"))
@@ -469,13 +481,17 @@ object LlmOpsAnn {
       e.crossJoin(broadcast(cent))
         .groupBy(col("vec_id"))
         .agg(max_by(col("cent_id"), struct(cosAssign, -col("cent_id"))).as("cent_id"))
-    val dims = e.join(assignTo(cent0), "vec_id")
-      .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos0", "val")))
-    val upd = dims.groupBy(col("cent_id"), (col("pos0") + 1).as("pos"))
-      .agg((sum(col("val").cast("double").cast("decimal(20,10)")).cast("double") /
-        count(lit(1))).cast("float").as("m"))
-    val cent = upd.groupBy(col("cent_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("c_emb"))
+    def lloyd(cent: DataFrame): DataFrame = {
+      val dims = e.join(assignTo(cent), "vec_id")
+        .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos0", "val")))
+      val upd = dims.groupBy(col("cent_id"), (col("pos0") + 1).as("pos"))
+        .agg((sum(col("val").cast("double").cast("decimal(20,10)")).cast("double") /
+          count(lit(1))).cast("float").as("m"))
+      upd.groupBy(col("cent_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("c_emb"))
+    }
+    var cent = cent0
+    for (_ <- 1 to nIter) cent = lloyd(cent).localCheckpoint()
     val nbr = e.join(assignTo(cent), "vec_id")
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
         col("cent_id").as("n_cent"))
@@ -484,7 +500,7 @@ object LlmOpsAnn {
     val probe = e.filter(col("vec_id").isin(200, 300, 400))
       .crossJoin(broadcast(cent))
       .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= 8)
+      .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("cent_id").as("q_cent"))
     val cosSearch = cosCol("q_emb", "n_emb")
