@@ -152,6 +152,46 @@ object Multimodal {
       writeBmp(nw, nh, out)
     }
 
+    /** Bilinear downsample by an integer factor — the DEFAULT resample
+      * (VERDICT r5 item 8): each output pixel interpolates the four
+      * source pixels around its back-projected center
+      * (sx = (x+0.5)·factor − 0.5), per channel, half-up rounding —
+      * pure integer/double arithmetic, deterministic. Anti-aliases
+      * where nearest-neighbor keeps only one sample per block.
+      */
+    def resizeBmpBilinear(bytes: Array[Byte], factor: Int): Array[Byte] = {
+      val (w, h, rgb) = parseBmp(bytes)
+      val nw = math.max(1, w / factor)
+      val nh = math.max(1, h / factor)
+      val out = new Array[Int](nw * nh)
+      def ch(p: Int, shift: Int): Int = (p >> shift) & 0xFF
+      var y = 0
+      while (y < nh) {
+        val sy = (y + 0.5) * factor - 0.5
+        val y0 = math.max(0, math.min(h - 1, math.floor(sy).toInt))
+        val y1 = math.min(h - 1, y0 + 1)
+        val fy = sy - y0
+        var x = 0
+        while (x < nw) {
+          val sx = (x + 0.5) * factor - 0.5
+          val x0 = math.max(0, math.min(w - 1, math.floor(sx).toInt))
+          val x1 = math.min(w - 1, x0 + 1)
+          val fx = sx - x0
+          val (p00, p01) = (rgb(y0 * w + x0), rgb(y0 * w + x1))
+          val (p10, p11) = (rgb(y1 * w + x0), rgb(y1 * w + x1))
+          def lerp(shift: Int): Int = {
+            val top = ch(p00, shift) * (1 - fx) + ch(p01, shift) * fx
+            val bot = ch(p10, shift) * (1 - fx) + ch(p11, shift) * fx
+            math.min(255, math.max(0, math.round(top * (1 - fy) + bot * fy).toInt))
+          }
+          out(y * nw + x) = (lerp(16) << 16) | (lerp(8) << 8) | lerp(0)
+          x += 1
+        }
+        y += 1
+      }
+      writeBmp(nw, nh, out)
+    }
+
     /** Image features from a decoded BMP: mean luminance, bright-pixel
       * fraction, then a (dim−2)-bin luminance histogram. Rec.601 luma
       * in integer arithmetic — fully deterministic.
@@ -346,16 +386,24 @@ object Multimodal {
     }
   }
 
-  /** REAL metadata-preserving resize of image payloads: nearest-
-    * neighbor pixel resample through the BMP codec; the new metadata
-    * comes from the re-encoded file's actual header.
+  /** REAL metadata-preserving resize of image payloads through the BMP
+    * codec; the new metadata comes from the re-encoded file's actual
+    * header. `method` = "bilinear" (default — anti-aliased, see
+    * [[PureCodecs.resizeBmpBilinear]]) or "nearest" (the original
+    * sample-and-hold path, kept for the declared multimodal_resize
+    * row's pinned bytes).
     */
-  def resizeImages(assets: Dataset[Asset], factor: Int): Dataset[Asset] = {
+  def resizeImages(assets: Dataset[Asset], factor: Int,
+                   method: String = "bilinear"): Dataset[Asset] = {
     import assets.sparkSession.implicits._
+    require(method == "bilinear" || method == "nearest",
+      s"unknown resample method '$method'")
     assets.map { a =>
       if (a.kind != "image") a
       else {
-        val resized = PureCodecs.resizeBmp(a.content, factor)
+        val resized =
+          if (method == "nearest") PureCodecs.resizeBmp(a.content, factor)
+          else PureCodecs.resizeBmpBilinear(a.content, factor)
         val (w, h, _) = PureCodecs.parseBmp(resized)
         a.copy(content = resized,
           meta = a.meta.copy(width = Some(w), height = Some(h)))

@@ -383,7 +383,10 @@ object NoOracle {
     val assets = graft.multimodal.Multimodal
       .syntheticAssets(s, T.documents(s, d).select(col("doc_id")), "doc_id")
       .as[graft.multimodal.Multimodal.Asset]
-    graft.multimodal.Multimodal.resizeImages(assets, factor = 2)
+    // "nearest" pins the declared row's exact bytes from earlier
+    // rounds; bilinear (the production default) is spec-gated instead
+    // (MultimodalSpec MSE assertion)
+    graft.multimodal.Multimodal.resizeImages(assets, factor = 2, method = "nearest")
       .toDF()
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n_assets"),

@@ -102,4 +102,40 @@ class MultimodalSpec extends SparkSpec {
     val audio = resized.filter(_.kind == "audio").collect().head
     assert(audio.content.length == 44 + 400 * 2)
   }
+
+  test("bilinear resize (default) round-trips and beats nearest-neighbor MSE on a gradient") {
+    // 32×32 diagonal gradient: the analytic value at any (x, y) is
+    // known, so the ideal ×2 downsample is the gradient sampled at the
+    // back-projected pixel centers. Bilinear interpolates a linear
+    // function exactly (up to rounding); NN is off by the half-pixel
+    // phase — so bilinear MSE must be strictly smaller.
+    def grad(x: Double, y: Double): Int = math.round((x + y) * 255 / 62.0).toInt
+    val rgb = Array.tabulate(32 * 32) { i =>
+      val v = grad(i % 32, i / 32); (v << 16) | (v << 8) | v
+    }
+    val bmp = Multimodal.PureCodecs.writeBmp(32, 32, rgb)
+    def mse(resized: Array[Byte]): Double = {
+      val (w, h, px) = Multimodal.PureCodecs.parseBmp(resized)
+      assert(w == 16 && h == 16)
+      px.zipWithIndex.map { case (p, i) =>
+        val ideal = grad((i % 16 + 0.5) * 2 - 0.5, (i / 16 + 0.5) * 2 - 0.5)
+        val d = (p & 0xFF) - ideal
+        d.toDouble * d
+      }.sum / px.length
+    }
+    val mseBilinear = mse(Multimodal.PureCodecs.resizeBmpBilinear(bmp, 2))
+    val mseNearest = mse(Multimodal.PureCodecs.resizeBmp(bmp, 2))
+    info(f"gradient fixture MSE: bilinear=$mseBilinear%.3f nearest=$mseNearest%.3f")
+    assert(mseBilinear < mseNearest,
+      f"bilinear ($mseBilinear%.3f) must beat nearest ($mseNearest%.3f)")
+    assert(mseBilinear < 1.0, f"bilinear on a linear gradient should be ~exact, got $mseBilinear%.3f")
+
+    // the dataset-level default is bilinear and still emits parseable
+    // BMPs with correct headers
+    val resized = Multimodal.resizeImages(assets(), factor = 2)
+    val img = resized.filter(_.kind == "image").collect().head
+    val (w, h, _) = Multimodal.PureCodecs.parseBmp(img.content)
+    assert(w == 8 && h == 8)
+    assert(img.meta.width.contains(8) && img.meta.height.contains(8))
+  }
 }
