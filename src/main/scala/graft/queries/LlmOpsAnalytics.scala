@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables => T}
 
@@ -376,6 +377,66 @@ object LlmOpsAnalytics {
       .orderBy(col("rank").asc_nulls_first)
   }
 
+  /** Last-touch attribution — the funnel family's revenue sibling:
+    * each purchase is attributed to the same user's most recent
+    * click/view in the preceding 24 h (ties at the same microsecond
+    * break by touch_type ASC for a total order); purchases with no
+    * qualifying touch land in the 'direct' bucket. Scale shape: the
+    * candidate join is EQUI on user_id with a bounded time-range
+    * predicate — fan-out per purchase is that user's touches in one
+    * day, never the corpus — and the best-touch pick is a per-purchase
+    * row_number, partial-aggregable downstream. Revenue sums are
+    * decimal (exact, order-independent), one cast + round at the edge.
+    */
+  val eventAttribution: Q = Q(
+    "event_attribution",
+    """WITH purch AS (
+      |  SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us, value
+      |  FROM events WHERE event_type = 'purchase'
+      |), touch AS (
+      |  SELECT user_id AS t_user, event_type AS touch_type, epoch_us(ts) AS t_us
+      |  FROM events WHERE event_type IN ('click', 'view')
+      |), best AS (
+      |  SELECT p_id, value, touch_type,
+      |         row_number() OVER (PARTITION BY p_id
+      |                            ORDER BY t_us DESC NULLS LAST,
+      |                                     touch_type ASC NULLS LAST) AS rn
+      |  FROM purch LEFT JOIN touch
+      |    ON user_id = t_user AND t_us <= p_us
+      |   AND t_us >= p_us - 86400000000
+      |)
+      |SELECT coalesce(touch_type, 'direct') AS touch_type,
+      |       CAST(count(*) AS BIGINT) AS n_purchases,
+      |       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 6)
+      |         AS revenue
+      |FROM best WHERE rn = 1
+      |GROUP BY 1
+      |ORDER BY touch_type NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val ev = T.events(s, d)
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        unix_micros(col("ts")).as("p_us"), col("value"))
+    val touch = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id").as("t_user"), col("event_type").as("touch_type"),
+        unix_micros(col("ts")).as("t_us"))
+    val w = Window.partitionBy(col("p_id"))
+      .orderBy(col("t_us").desc_nulls_last, col("touch_type").asc_nulls_last)
+    purch
+      .join(touch,
+        col("user_id") === col("t_user")
+          && col("t_us") <= col("p_us")
+          && col("t_us") >= col("p_us") - 86400000000L,
+        "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(coalesce(col("touch_type"), lit("direct")).as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(T.dec4(col("value"))).cast("double"), 6).as("revenue"))
+      .orderBy(col("touch_type").asc_nulls_first)
+  }
+
   val all: Seq[Q] = Seq(funnelSteps, funnelTimebound, cohortRetention,
-    packSequences, dedupCluster, embeddingQuantize, textRarity)
+    packSequences, dedupCluster, embeddingQuantize, textRarity,
+    eventAttribution)
 }

@@ -493,7 +493,73 @@ object TimeSeriesOps {
       .orderBy(col("event_type").asc_nulls_first, col("hod"))
   }
 
+  /** Truncated exponential moving average (α=0.3, kernel cut at 5
+    * points) over the per-series HOURLY mean — the smoothing pass a
+    * telemetry dashboard runs before thresholding. The untruncated
+    * recursive EMA is not portably hash-exact (the closed form needs
+    * p^-t intermediates that overflow double precision past ~40 rows),
+    * so the declared semantic is the standard span-truncated kernel:
+    * weights 1, p, p², p³, p⁴ (p = 0.7) over the last 5 hourly points,
+    * renormalized over the lags that EXIST (series starts shorten the
+    * kernel instead of biasing toward 0). All weights are literal
+    * constants (no pow()), the hourly mean is one decimal-sum→double
+    * division, and the num/den additions are written in the same
+    * left-associated order in both engines — bit-identical doubles,
+    * round(…,6) at the edge. Scale: one partial-aggregable hourly
+    * rollup, then 4 lags over the |series|×|hours| AGGREGATE.
+    */
+  val tsEma: Q = Q(
+    "ts_ema",
+    """WITH hr AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |lagged AS (
+      |  SELECT event_type, hour_ts, n, x,
+      |         lag(x, 1) OVER w AS l1, lag(x, 2) OVER w AS l2,
+      |         lag(x, 3) OVER w AS l3, lag(x, 4) OVER w AS l4
+      |  FROM hr
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts))
+      |SELECT event_type, CAST(hour_ts AS TIMESTAMP) AS hour_ts, n,
+      |       round(x, 6) AS hour_avg,
+      |       round((x + coalesce(0.7 * l1, 0.0) + coalesce(0.49 * l2, 0.0)
+      |              + coalesce(0.343 * l3, 0.0) + coalesce(0.2401 * l4, 0.0))
+      |             / (1.0 + CASE WHEN l1 IS NULL THEN 0.0 ELSE 0.7 END
+      |                    + CASE WHEN l2 IS NULL THEN 0.0 ELSE 0.49 END
+      |                    + CASE WHEN l3 IS NULL THEN 0.0 ELSE 0.343 END
+      |                    + CASE WHEN l4 IS NULL THEN 0.0 ELSE 0.2401 END), 6)
+      |         AS ema
+      |FROM lagged
+      |ORDER BY event_type NULLS FIRST, hour_ts""".stripMargin
+  ) { (s, d) =>
+    val hr = T.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("n"),
+        (sum(T.dec4(col("value"))).cast("double") / count(lit(1))).as("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_ts"))
+    val lagged = hr
+      .withColumn("l1", lag(col("x"), 1).over(w))
+      .withColumn("l2", lag(col("x"), 2).over(w))
+      .withColumn("l3", lag(col("x"), 3).over(w))
+      .withColumn("l4", lag(col("x"), 4).over(w))
+    val num = col("x") +
+      coalesce(lit(0.7) * col("l1"), lit(0.0)) +
+      coalesce(lit(0.49) * col("l2"), lit(0.0)) +
+      coalesce(lit(0.343) * col("l3"), lit(0.0)) +
+      coalesce(lit(0.2401) * col("l4"), lit(0.0))
+    val den = lit(1.0) +
+      when(col("l1").isNull, 0.0).otherwise(0.7) +
+      when(col("l2").isNull, 0.0).otherwise(0.49) +
+      when(col("l3").isNull, 0.0).otherwise(0.343) +
+      when(col("l4").isNull, 0.0).otherwise(0.2401)
+    lagged.select(col("event_type"), col("hour_ts"), col("n"),
+        round(col("x"), 6).as("hour_avg"),
+        round(num / den, 6).as("ema"))
+      .orderBy(col("event_type").asc_nulls_first, col("hour_ts"))
+  }
+
   val all: Seq[Q] =
     Seq(tsGapfillLocf, tsOhlc, scd2Intervals, tsResampleInterp, tsAnomalyZscore,
-      scd2AsofLookup, tsAnomalyMad, tsRolling1h, tsSeasonalHour)
+      scd2AsofLookup, tsAnomalyMad, tsRolling1h, tsSeasonalHour, tsEma)
 }

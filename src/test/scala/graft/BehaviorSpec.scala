@@ -352,4 +352,41 @@ class BehaviorSpec extends SparkSpec {
     assert(got.values.map(_._2).sum > 0,
       "no late events in the corpus — late arm not exercised")
   }
+
+  test("ts_ema: first row equals the hourly mean; ema stays inside the trailing-5 envelope") {
+    val rows = graft.queries.TimeSeriesOps.tsEma.fn(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (et, hs) =>
+      val ordered = hs.sortBy(_._2.getTime)
+      assert(math.abs(ordered.head._3 - ordered.head._4) < 1e-9,
+        s"$et: series start must have ema == hour_avg")
+      ordered.zipWithIndex.foreach { case ((_, _, _, ema), i) =>
+        val window = ordered.slice(math.max(0, i - 4), i + 1).map(_._3)
+        assert(ema >= window.min - 1e-6 && ema <= window.max + 1e-6,
+          s"$et@$i: ema $ema outside its trailing-5 envelope " +
+            s"[${window.min}, ${window.max}]")
+      }
+      // smoothing must reduce hop-to-hop variance vs the raw series
+      def jitter(xs: Seq[Double]): Double =
+        xs.sliding(2).map(p => math.abs(p(1) - p.head)).sum
+      assert(jitter(ordered.map(_._4).toSeq) < jitter(ordered.map(_._3).toSeq),
+        s"$et: ema did not smooth the series")
+    }
+  }
+
+  test("event_attribution conserves purchases and revenue; every bucket is real") {
+    val ev = Tables.events(spark, sf())
+    val totalPurch = ev.filter(org.apache.spark.sql.functions.col("event_type") === "purchase").count()
+    val got = graft.queries.LlmOpsAnalytics.eventAttribution.fn(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSet.subsetOf(Set("click", "view", "direct")))
+    assert(got.map(_._2).sum === totalPurch,
+      "every purchase attributed to exactly one bucket")
+    // attributed buckets must dominate on a 30-day corpus with dense
+    // click/view activity — 'direct' exists but is the minority
+    val attributed = got.filter(_._1 != "direct").map(_._2).sum
+    assert(attributed > 0, "no purchase found a preceding touch — join broken")
+    assert(got.forall(_._3 >= 0.0))
+  }
 }
