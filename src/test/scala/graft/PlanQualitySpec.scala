@@ -24,6 +24,7 @@ class PlanQualitySpec extends SparkSpec {
     "scd2_asof_lookup",    // 1-row bounds aggregate crossed into the probe generator
     "zorder_layout",       // 1-row min/max bounds crossed in for rank normalization
     "dq_drift_psi",        // 1-row time/value bounds crossed in for bucketing
+    "dq_freshness",        // 1-row global-max aggregate crossed into the per-series frame (r6, replaced the unpartitioned window)
     "tpch_q11",            // 1-row global-total threshold crossed into the grouped frame
     "tpch_q22")            // 1-row avg-balance scalar crossed into the customer subset
     // dedup_embedding was allowlisted through r2 (all-pairs BNLJ); it is
