@@ -559,7 +559,83 @@ object TimeSeriesOps {
       .orderBy(col("event_type").asc_nulls_first, col("hour_ts"))
   }
 
+  /** Reset-aware counter rate — the perfmon/Prometheus shape at the
+    * heart of the reference's monitoring domain: agents export
+    * monotonically increasing counters that occasionally RESET (process
+    * restart), so the naive lag-delta goes negative exactly there. Per
+    * (series, hour): sum of per-event increases, where a decrease
+    * signals a reset and contributes the post-reset absolute value
+    * (the standard `rate()` reset rule), and the first event of a
+    * series contributes 0 (unknown baseline). The synthetic corpus's
+    * `value` is not a real counter, so a deterministic one is DERIVED
+    * in-query: per-series running sum of an id-derived step
+    * (event_id % 7 + 1), restarting from that step whenever
+    * user_id % 97 == 0 (the reset marker) — segment number = running
+    * count of resets, counter = running step sum within the segment.
+    * Strictly integer arithmetic, identical cross-engine; total order
+    * inside every window via (ts, event_id).
+    */
+  val tsCounterRate: Q = Q(
+    "ts_counter_rate",
+    """WITH seg AS (
+      |  SELECT event_type, ts, event_id, event_id % 7 + 1 AS step,
+      |         CAST(sum(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END)
+      |              OVER (PARTITION BY event_type ORDER BY ts, event_id
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |              AS BIGINT) AS segment
+      |  FROM events),
+      |cnt AS (
+      |  SELECT event_type, ts, event_id,
+      |         CAST(sum(step)
+      |              OVER (PARTITION BY event_type, segment
+      |                    ORDER BY ts, event_id
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |              AS BIGINT) AS counter
+      |  FROM seg),
+      |delta AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+      |         CASE WHEN lag(counter) OVER w IS NULL THEN 0
+      |              WHEN counter >= lag(counter) OVER w
+      |                THEN counter - lag(counter) OVER w
+      |              ELSE counter END AS inc
+      |  FROM cnt
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+      |SELECT event_type, CAST(hour_ts AS TIMESTAMP) AS hour_ts,
+      |       CAST(count(*) AS BIGINT) AS n_samples,
+      |       CAST(sum(inc) AS BIGINT) AS total_increase
+      |FROM delta
+      |GROUP BY 1, 2
+      |ORDER BY event_type NULLS FIRST, hour_ts""".stripMargin
+  ) { (s, d) =>
+    val wRun = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seg = T.events(s, d)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        (col("event_id") % 7 + 1).as("step"),
+        sum(when(col("user_id") % 97 === 0, 1).otherwise(0))
+          .over(wRun).cast("long").as("segment"))
+    val wSeg = Window.partitionBy(col("event_type"), col("segment"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cnt = seg.select(col("event_type"), col("ts"), col("event_id"),
+      sum(col("step")).over(wSeg).cast("long").as("counter"))
+    val wLag = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val prev = lag(col("counter"), 1).over(wLag)
+    val delta = cnt.select(col("event_type"),
+      date_trunc("hour", col("ts")).as("hour_ts"),
+      when(prev.isNull, lit(0L))
+        .when(col("counter") >= prev, col("counter") - prev)
+        .otherwise(col("counter")).as("inc"))
+    delta.groupBy(col("event_type"), col("hour_ts"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("inc")).cast("long").as("total_increase"))
+      .orderBy(col("event_type").asc_nulls_first, col("hour_ts"))
+  }
+
   val all: Seq[Q] =
     Seq(tsGapfillLocf, tsOhlc, scd2Intervals, tsResampleInterp, tsAnomalyZscore,
-      scd2AsofLookup, tsAnomalyMad, tsRolling1h, tsSeasonalHour, tsEma)
+      scd2AsofLookup, tsAnomalyMad, tsRolling1h, tsSeasonalHour, tsEma,
+      tsCounterRate)
 }

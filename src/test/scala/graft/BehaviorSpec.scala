@@ -375,6 +375,42 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("ts_counter_rate equals a brute-force reset-aware replay; resets exercised") {
+    val evs = Tables.events(spark, sf())
+      .selectExpr("event_type", "unix_micros(ts) AS tsu", "event_id", "user_id")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val brute = evs.groupBy(_._1).flatMap { case (et, rows) =>
+      val ordered = rows.sortBy(e => (e._2, e._3))
+      var segment = 0L
+      var counter = 0L
+      var prev = Option.empty[Long]
+      val incs = ordered.map { case (_, tsu, eid, uid) =>
+        if (uid % 97 == 0) { segment += 1; counter = 0 }
+        counter += eid % 7 + 1
+        val inc = prev match {
+          case None                  => 0L
+          case Some(p) if counter >= p => counter - p
+          case _                     => counter // reset: post-reset absolute
+        }
+        prev = Some(counter)
+        (tsu / 3600000000L, inc)
+      }
+      incs.groupBy(_._1).map { case (hr, xs) =>
+        (et, hr) -> (xs.size.toLong, xs.map(_._2).sum)
+      }
+    }
+    val got = graft.queries.TimeSeriesOps.tsCounterRate.fn(spark, sf())
+      .selectExpr("event_type", "unix_micros(hour_ts) div 3600000000 AS hr",
+        "n_samples", "total_increase")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === brute)
+    // the reset arm must actually fire on this corpus
+    assert(evs.exists(_._4 % 97 == 0), "no reset markers in corpus")
+  }
+
   test("event_attribution conserves purchases and revenue; every bucket is real") {
     val ev = Tables.events(spark, sf())
     val totalPurch = ev.filter(org.apache.spark.sql.functions.col("event_type") === "purchase").count()
