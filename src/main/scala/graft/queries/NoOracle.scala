@@ -211,6 +211,41 @@ object NoOracle {
       .orderBy(col("o_orderstatus").asc_nulls_first)
   }
 
+  /** B5 depth, the other physical-layout lever next to bucketing:
+    * PARTITION PRUNING. The events table is written hive-partitioned
+    * by event_type into a per-run temp dir; a single-type query must
+    * then touch exactly ONE of the five directory partitions — the
+    * difference between scanning 100 TB and scanning 20 TB. The
+    * declared row carries the selected/total partition counts read
+    * from the executed FileSourceScanExec (plan-tree walk, not string
+    * matching), so the driver-visible result asserts the pruning
+    * property itself.
+    */
+  val partitionPruning: Q = Q.noOracle("b5_partition_pruning") { (s, d) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft_b5_part_")
+    T.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(tmp.toString)
+    val pruned = s.read.parquet(tmp.toString)
+      .filter(col("event_type") === "click")
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec    => Seq(f)
+      case other                    => other.children.flatMap(scans)
+    }
+    val scan = scans(pruned.queryExecution.executedPlan).head
+    val selected = scan.selectedPartitions.partitionCount.toLong
+    val total = s.read.parquet(tmp.toString)
+      .select(col("event_type")).distinct().count()
+    pruned
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("partitions_selected", lit(selected))
+      .withColumn("partitions_total", lit(total))
+      .withColumn("pruned", lit(selected == 1L && total == 5L))
+  }
+
   /** B1's JSON twin: NDJSON in, typed rows out, malformed lines
     * quarantined. The 11-line fixture covers the three JSON failure
     * classes (type mismatch on a declared field, truncated object,
@@ -430,7 +465,7 @@ object NoOracle {
   val all: Seq[Q] = Seq(
     approxDistinct, approxPercentile, countMin, approxTopK, sampleSeeded,
     lshTextNearDup, lshEmbeddingNear, csvRejects, jsonRejects, loadAudit,
-    schemaEvolution, bucketedJoin, udfSurface,
+    schemaEvolution, bucketedJoin, partitionPruning, udfSurface,
     multimodalFeatures, multimodalFrames, multimodalResize,
     streamStateBatchRun, streamTransformBatchRun)
 }
