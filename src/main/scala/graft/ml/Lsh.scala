@@ -81,14 +81,28 @@ object Lsh {
   /** Near neighbors in embedding space by random-projection LSH
     * (Euclidean buckets). Returns (a, b, dist) with a < b within
     * `maxL2Distance` — on normalized vectors this bounds cosine too.
+    *
+    * `bucketLength` ≤ 0 (default) means the textbook p-stable setting
+    * w ≈ r (the query radius): far-pair bucket collisions scale with
+    * w/d_far per table, so an r-matched width keeps the candidate set
+    * close to output-sensitive while near pairs (d ≪ r) still collide
+    * with high probability across the OR'd tables. Measured at 10×
+    * data (sf1): the old fixed w=2.0 cost 197 s (86× sf0.1 — the r6
+    * scale rehearsal's one super-linear find); w=r cuts the far floor
+    * ~3×. The REMAINING super-linearity is structural to spark.ml's
+    * OR-only amplification (no AND-composed multi-projection keys), so
+    * the 100 TB path for embedding near-dup is the owned AND-banded
+    * sign-LSH of dedup_embedding (5.9× at 10× data) — this entry point
+    * is the library-surface demonstration, recall-gated by LshSpec.
     */
   def embeddingNearPairs(spark: SparkSession, embeddings: DataFrame,
-                         maxL2Distance: Double, bucketLength: Double = 2.0,
+                         maxL2Distance: Double, bucketLength: Double = 0.0,
                          numHashTables: Int = 4): DataFrame = {
+    val w = if (bucketLength > 0) bucketLength else maxL2Distance
     val vecs = embeddings.select(col("vec_id"), toVec(col("embedding")).as("features"))
     val brp = new BucketedRandomProjectionLSH()
       .setInputCol("features").setOutputCol("hashes")
-      .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(42L)
+      .setBucketLength(w).setNumHashTables(numHashTables).setSeed(42L)
     val model = brp.fit(vecs)
     val hashed = model.transform(vecs).cache() // see textNearDupPairs
     model.approxSimilarityJoin(hashed, hashed, maxL2Distance, "dist")

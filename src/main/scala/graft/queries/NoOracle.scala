@@ -107,7 +107,15 @@ object NoOracle {
     // threshold 1.2 sits in the lower tail of the corpus' pair-distance
     // distribution (~1.5k qualifying pairs at sf0.01, ~24k at sf0.1) —
     // a NEAR-pair filter that actually prunes; the former 10.0 admitted
-    // every pair in the corpus and made the join emit n² rows
+    // every pair in the corpus and made the join emit n² rows.
+    // Scale boundary (r6 sf1 rehearsal, the one super-linear find): the
+    // tail is a FRACTION (~1.3%) of all pairs, so the join's true
+    // output grows ∝ n² (2.6M pairs at 10×) — output-bound, and with
+    // unit vectors the near/far contrast (1.1 vs √2) is too small for
+    // any OR-amplified LSH to prune below its own output. A radius
+    // that tightens with density (or the AND-banded dedup_embedding,
+    // 5.9× at 10×) is the 100 TB near-DUP path; this row stays the
+    // fixed-radius library-surface demonstration.
     graft.ml.Lsh.embeddingNearPairs(s, T.embeddings(s, d),
         maxL2Distance = 1.2, numHashTables = 2)
       .select(col("a"), col("b"), round(col("dist"), 6).as("l2_dist"))
