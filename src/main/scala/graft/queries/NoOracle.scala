@@ -135,9 +135,11 @@ object NoOracle {
     */
   val csvRejects: Q = Q.noOracle("b1_csv_rejects") { (s, _) =>
     import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
-    val dir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_b1_fixture")
-    java.nio.file.Files.createDirectories(dir)
+    // fresh dir per invocation: a fixed tmpdir path lets two concurrent
+    // sessions interleave each other's write/read (same class of hazard
+    // ADVICE r5 flagged for b5); output rows are fixture-determined
+    // either way
+    val dir = java.nio.file.Files.createTempDirectory("graft_b1_fixture_")
     val fixture =
       """id,metric,m_value
         |1,cpu,0.5
@@ -263,9 +265,8 @@ object NoOracle {
     */
   val jsonRejects: Q = Q.noOracle("b1_json_rejects") { (s, _) =>
     import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
-    val dir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_b1_json_fixture")
-    java.nio.file.Files.createDirectories(dir)
+    // fresh dir per invocation — see b1_csv_rejects
+    val dir = java.nio.file.Files.createTempDirectory("graft_b1_json_fixture_")
     val fixture =
       """{"id": 1, "metric": "cpu", "m_value": 0.5}
         |{"id": 2, "metric": "mem", "m_value": 0.7}

@@ -128,6 +128,24 @@ class BoundarySpec extends SparkSpec {
     assert(got === Map(1L -> 0.0, 2L -> 1.0, 3L -> 2.0))
   }
 
+  test("event_attribution: a touch EXACTLY 24 h old is attributed; 1 µs older is direct") {
+    val D = 24L * H
+    val d = eventsDir(Seq(
+      (1L, 0L, 7L, "click", 0.0),
+      (2L, D, 7L, "purchase", 10.0),        // touch age exactly 24 h → attributed
+      (3L, 0L, 8L, "view", 0.0),
+      (4L, D + 1000L, 8L, "purchase", 5.0), // 1 µs past the window → direct
+      // latest-touch tiebreak: two touches, the LATER one wins
+      (5L, 0L, 9L, "view", 0.0),
+      (6L, 1000L, 9L, "click", 0.0),
+      (7L, 2000L, 9L, "purchase", 1.0)))
+    val got = graft.queries.LlmOpsAnalytics.eventAttribution.fn(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got === Map(
+      "click" -> ((2L, 11.0)),  // user 7 (exact-24h click) + user 9 (latest touch)
+      "direct" -> ((1L, 5.0)))) // user 8's touch fell 1 µs out of window
+  }
+
   test("stream_tumbling_batch: an event EXACTLY on the hour lands in the NEW bucket") {
     val d = eventsDir(Seq(
       (1L, H - 1000L, 3L, "view", 0.0), // 1 µs before the hour → bucket 0
