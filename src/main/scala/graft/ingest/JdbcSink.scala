@@ -22,7 +22,11 @@ object JdbcSink {
       user: String = "",
       password: String = "",
       batchSize: Int = 10000,
-      numPartitions: Int = 8)
+      numPartitions: Int = 8,
+      // Greenplum/Postgres in production; overridable so the WRITE/READ
+      // path itself is exercised live against embedded Derby in
+      // JdbcLiveSpec (the only JDBC engine available offline)
+      driver: String = "org.postgresql.Driver")
 
   /** Spark JDBC writer options for the append path. `numPartitions`
     * bounds the connection count per write — at 1000 executors an
@@ -36,7 +40,7 @@ object JdbcSink {
     "batchsize" -> c.batchSize.toString,
     "numPartitions" -> c.numPartitions.toString,
     "isolationLevel" -> "READ_COMMITTED",
-    "driver" -> "org.postgresql.Driver")
+    "driver" -> c.driver)
 
   /** Greenplum/Postgres column type for a Spark type (inverse of
     * Manifest.sparkType).
