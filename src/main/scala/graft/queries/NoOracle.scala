@@ -382,8 +382,9 @@ object NoOracle {
   }
 
   /** Multimodal: synthetic binary assets → per-partition feature
-    * extraction → per-kind feature summary (decode step is the
-    * documented deterministic stub).
+    * extraction → per-kind feature summary. All three kinds decode for
+    * REAL (BMP / WAV / MJPEG-AVI via the JDK's deterministic JPEG
+    * codec — round 6 retired the video stub).
     */
   val multimodalFeatures: Q = Q.noOracle("multimodal_features") { (s, d) =>
     import s.implicits._

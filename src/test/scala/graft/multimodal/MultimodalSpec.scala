@@ -56,10 +56,40 @@ class MultimodalSpec extends SparkSpec {
       .getAs[Array[Byte]](0)
     assert(wav.length == 44 + 400 * 2)
     assert(Multimodal.PureCodecs.parseWav(wav)._1 == 16000)
-    // video keeps the documented md5 stub payload
+    // video payloads are REAL MJPEG AVIs: RIFF container, 4 JPEG frames
     val vid = df.filter(col("kind") === "video").select("content").collect().head
       .getAs[Array[Byte]](0)
-    assert(vid.length == 128) // 16-byte md5 × 8
+    val (vw, vh, jpegs) = Multimodal.PureCodecs.parseMjpegAvi(vid)
+    assert(vw == 16 && vh == 16 && jpegs.length == 4)
+    // each frame is a standalone decodable baseline JPEG (SOI marker)
+    jpegs.foreach { j =>
+      assert((j(0) & 0xFF) == 0xFF && (j(1) & 0xFF) == 0xD8, "missing JPEG SOI")
+      val (fw, fh, _) = Multimodal.PureCodecs.decodeJpeg(j)
+      assert(fw == 16 && fh == 16)
+    }
+  }
+
+  test("MJPEG AVI codec round-trips frames within JPEG loss; rejects non-AVI bytes") {
+    // smooth gradient frames survive baseline JPEG with small error
+    val frames = (0 until 3).map { f =>
+      Array.tabulate(16 * 16) { i =>
+        val v = ((i % 16) * 8 + (i / 16) * 8 + f * 10) % 256
+        (v << 16) | (v << 8) | v
+      }
+    }
+    val avi = Multimodal.PureCodecs.writeMjpegAvi(16, 16, frames)
+    val (w, h, jpegs) = Multimodal.PureCodecs.parseMjpegAvi(avi)
+    assert(w == 16 && h == 16 && jpegs.length == 3)
+    frames.zip(jpegs).foreach { case (orig, j) =>
+      val (_, _, back) = Multimodal.PureCodecs.decodeJpeg(j)
+      val mae = orig.zip(back).map { case (a, b) =>
+        math.abs((a & 0xFF) - (b & 0xFF))
+      }.sum.toDouble / orig.length
+      assert(mae < 8.0, s"JPEG round-trip error too large: $mae")
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.PureCodecs.parseMjpegAvi("definitely not an avi".getBytes)
+    }
   }
 
   test("feature extraction keeps batch shape: one row per asset, fixed dim, deterministic") {
