@@ -1,0 +1,223 @@
+package graft
+
+import java.math.{BigDecimal => JBD, RoundingMode}
+import java.time.{Instant, ZoneOffset}
+import java.time.temporal.ChronoUnit
+import org.apache.spark.sql.functions._
+import graft.queries.{PatternOps, StatsOps}
+
+/** Ground-truth pins for the pattern/stats wave: each operator is
+  * recomputed independently in driver-side Scala over collected rows
+  * (decimal pinning mirrors the queries — JBD.valueOf == Spark's
+  * double→decimal cast path) and compared, mostly exactly.
+  */
+class PatternStatsSpec extends SparkSpec {
+
+  private def dec2(v: Double): JBD = JBD.valueOf(v).setScale(2, RoundingMode.HALF_UP)
+  private def dec6(v: Double): JBD = JBD.valueOf(v).setScale(6, RoundingMode.HALF_UP)
+  private def round6(v: Double): Double = dec6(v).doubleValue
+  private def round4(v: Double): Double =
+    JBD.valueOf(v).setScale(4, RoundingMode.HALF_UP).doubleValue
+
+  // (user_id, instant, event_id, event_type, value), total-ordered the
+  // way every event window in the repo orders: (ts, event_id)
+  private lazy val events: Array[(Long, Instant, Long, String, Double)] =
+    Tables.events(spark, sf())
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toInstant, r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+
+  private def ordered(rows: Seq[(Long, Instant, Long, String, Double)]) =
+    rows.sortBy(r => (r._2.getEpochSecond, r._2.getNano.toLong, r._3))
+
+  test("window_pattern_match matches a driver-side sequence scan") {
+    val expected = events.groupBy(_._1).flatMap { case (u, rows) =>
+      val seq = ordered(rows.toSeq)
+      val triples = seq.sliding(3).filter(w => w.size == 3 &&
+        w(0)._4 == "view" && w(1)._4 == "click" && w(2)._4 == "purchase").toSeq
+      if (triples.isEmpty) None
+      else Some(u -> (triples.size.toLong,
+        triples.map(t => dec2(t(2)._5)).reduce(_ add _).doubleValue))
+    }
+    val got = PatternOps.windowPatternMatch.fn(spark, sf()).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty, "corpus exercised zero view>click>purchase triples")
+  }
+
+  test("gaps_islands matches a driver-side streak recompute") {
+    val expected = events.groupBy(_._1).map { case (u, rows) =>
+      val days = rows.map(_._2.atZone(ZoneOffset.UTC).toLocalDate.toEpochDay)
+        .distinct.sorted
+      // islands: split where the day gap exceeds 1
+      val lens = days.foldLeft(List.empty[(Long, Long)]) { // (runLen, lastDay)
+        case ((len, last) :: rest, d) if d == last + 1 => (len + 1, d) :: rest
+        case (acc, d)                                  => (1L, d) :: acc
+      }.map(_._1)
+      u -> (lens.max, lens.size.toLong, lens.sum)
+    }
+    val got = PatternOps.gapsIslands.fn(spark, sf()).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._2 > 1), "no user with more than one streak — gap logic unexercised")
+  }
+  test("pareto_frontier is exactly the non-dominated set (both directions)") {
+    // sf0.01: 100 suppliers — sf0.001's 10 are all mutually non-dominated,
+    // which would leave the dominance branch untested
+    val dir = sf("sf0.01")
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").cast("long"), col("l_quantity").cast("double"),
+        col("l_extendedprice").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1).toLong, dec2(r.getDouble(2))))
+    val sup = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").cast("long"), col("s_nationkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val agg = li.groupBy(_._1).map { case (sk, rows) =>
+      (sk, sup(sk), rows.map(_._2).sum, rows.map(_._3).reduce(_ add _))
+    }.toSeq
+    val expected = agg.filter { case (sk, nat, qty, cost) =>
+      !agg.exists { case (_, bNat, bQty, bCost) =>
+        bNat == nat && bQty >= qty && bCost.compareTo(cost) <= 0 &&
+          (bQty > qty || bCost.compareTo(cost) < 0)
+      }
+    }.map { case (sk, nat, qty, cost) => (nat, sk) -> (qty, cost.doubleValue) }.toMap
+    def ln(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.get(i).asInstanceOf[Number].longValue
+    val got = PatternOps.paretoFrontier.fn(spark, dir).collect()
+      .map(r => (ln(r, 0), ln(r, 1)) -> (ln(r, 3), r.getDouble(4))).toMap
+    assert(got == expected)
+    // and at least one supplier per populated nation was dominated away
+    assert(expected.size < agg.size, "frontier equals the whole set — dominance unexercised")
+  }
+
+  test("ts_cusum matches an exact decimal replay; drift flag consistent") {
+    val hourly = events
+      .map(e => ((e._4, e._2.truncatedTo(ChronoUnit.HOURS)), dec2(e._5)))
+      .groupBy(_._1)
+      .map { case ((t, h), vs) =>
+        (t, h, round6(vs.map(_._2).reduce(_ add _).doubleValue / vs.size)) }
+      .toSeq
+    val mu = hourly.groupBy(_._1).map { case (t, rows) =>
+      t -> round6(rows.map(r => dec6(r._3)).reduce(_ add _).doubleValue / rows.size)
+    }
+    val expected = hourly.groupBy(_._1).flatMap { case (t, rows) =>
+      var acc = JBD.ZERO
+      rows.sortBy(_._2).map { case (_, h, hm) =>
+        acc = acc.add(dec6(hm).subtract(dec6(mu(t))))
+        (t, h) -> acc.doubleValue
+      }
+    }
+    val got = StatsOps.tsCusum.fn(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toInstant) ->
+        (r.getDouble(2), r.getBoolean(3)))
+    assert(got.length == expected.size)
+    got.foreach { case (k, (cusum, drift)) =>
+      assert(expected(k) == cusum, s"cusum mismatch at $k")
+      assert(drift == (math.abs(cusum) > 200.0), s"drift flag inconsistent at $k")
+    }
+    // telescoping: the last cusum of each series collapses to
+    // n_hours * (rounding residue of mu) — bounded by n * 5e-7
+    got.groupBy(_._1._1).foreach { case (t, rows) =>
+      val last = rows.maxBy(_._1._2)._2._1
+      val n = rows.size
+      assert(math.abs(last) <= n * 5e-7 + 1e-9,
+        s"series $t final cusum $last exceeds the mu-rounding bound")
+    }
+  }
+
+  test("dq_outlier_iqr matches a driver-side quantile/fence recompute") {
+    val byType = events.groupBy(_._4)
+    val expected = byType.map { case (t, rows) =>
+      val v = rows.map(_._5).sorted
+      def q(p: Double): Double = {
+        val pos = p * (v.length - 1)
+        val lo = pos.toInt
+        val frac = pos - lo
+        if (frac == 0.0) v(lo) else v(lo) + (v(lo + 1) - v(lo)) * frac
+      }
+      val (q1, q3) = (q(0.25), q(0.75))
+      val lo = round4(q1 - (q3 - q1) * 1.5)
+      val hi = round4(q3 + (q3 - q1) * 1.5)
+      t -> (rows.size.toLong, rows.count(r => r._5 < lo || r._5 > hi).toLong, lo, hi)
+    }
+    val got = StatsOps.dqOutlierIqr.fn(spark, sf()).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._2 > 0), "no outliers anywhere — fence unexercised")
+  }
+
+  test("agg_linreg matches driver-side least squares to 6 dp") {
+    val byType = events.groupBy(_._4)
+    val got = StatsOps.aggLinreg.fn(spark, sf()).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4))).toMap
+    byType.foreach { case (t, rows) =>
+      val xs = rows.map(r =>
+        r._2.atZone(ZoneOffset.UTC).toLocalDate.toEpochDay.toDouble - 19723.0)
+      // 19723 = epochDay(2024-01-01)
+      val ys = rows.map(_._5)
+      val n = xs.length.toDouble
+      val (mx, my) = (xs.sum / n, ys.sum / n)
+      val sxx = xs.map(x => (x - mx) * (x - mx)).sum
+      val sxy = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+      val syy = ys.map(y => (y - my) * (y - my)).sum
+      val slope = sxy / sxx
+      val intercept = my - slope * mx
+      val r2 = (sxy * sxy) / (sxx * syy)
+      val (gs, gi, gr2, gn) = got(t)
+      assert(math.abs(gs - slope) < 2e-6, s"$t slope $gs vs $slope")
+      assert(math.abs(gi - intercept) < 2e-6, s"$t intercept $gi vs $intercept")
+      assert(math.abs(gr2 - r2) < 2e-6, s"$t r2 $gr2 vs $r2")
+      assert(gn == rows.size.toLong)
+    }
+  }
+
+  test("fn_regexp matches driver-side java.util.regex recomputation") {
+    val parts = Tables.part(spark, sf())
+      .select(col("p_partkey"), col("p_brand"), col("p_name"), col("p_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1).take(200)
+    val brandRe = "Brand#([0-9]+)".r
+    val expected = parts.map { case (pk, brand, name, ptype) =>
+      val num = brandRe.findFirstMatchIn(brand).map(_.group(1).toInt)
+      val masked = name.replaceAll("[aeiou]", "_")
+      val common = "^(ECONOMY|STANDARD)".r.findFirstIn(ptype).isDefined
+      val vowels = "[aeiou]".r.findAllIn(name).size.toLong
+      (pk, num, masked, common, vowels)
+    }.toSeq
+    val got = StatsOps.fnRegexp.fn(spark, sf()).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        r.getString(2), r.getBoolean(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    assert(expected.forall(e => !e._3.exists("aeiou".contains(_))),
+      "masking left a vowel behind")
+  }
+
+  test("text_bigram_logprob matches a driver-side LM recompute") {
+    val docs = Tables.documents(spark, sf())
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.length >= 2)
+    val dk = docs.flatMap { case (id, t) =>
+      t.sliding(2).toSeq.groupBy(identity).map { case (bg, occ) => (id, bg, occ.size.toLong) }
+    }
+    val ck = dk.groupBy(_._2).map { case (bg, rows) => bg -> rows.map(_._3).sum }
+    val tot = ck.values.sum.toDouble
+    val log2 = (x: Double) => math.log(x) / math.log(2.0)
+    val scored = dk.groupBy(_._1).map { case (id, rows) =>
+      val m = rows.map(_._3).sum
+      val s = -rows.map(r => r._3 * log2(ck(r._2) / tot)).sum / m
+      (id, m, round6(s))
+    }.toSeq
+    val expectedTop = scored.sortBy { case (id, _, s) => (-s, id) }.take(25)
+    val got = StatsOps.textBigramLogprob.fn(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(_._1) == expectedTop.map(_._1), "top-25 doc set/order diverged")
+    got.zip(expectedTop).foreach { case ((id, m, s), (eid, em, es)) =>
+      assert(m == em, s"doc $id bigram count $m vs $em")
+      assert(math.abs(s - es) < 2e-6, s"doc $id surprisal $s vs $es")
+    }
+  }
+}

@@ -26,7 +26,8 @@ class PlanQualitySpec extends SparkSpec {
     "dq_drift_psi",        // 1-row time/value bounds crossed in for bucketing
     "dq_freshness",        // 1-row global-max aggregate crossed into the per-series frame (r6, replaced the unpartitioned window)
     "tpch_q11",            // 1-row global-total threshold crossed into the grouped frame
-    "tpch_q22")            // 1-row avg-balance scalar crossed into the customer subset
+    "tpch_q22",            // 1-row avg-balance scalar crossed into the customer subset
+    "text_bigram_logprob") // 1-row corpus-total aggregate crossed into the model join
     // dedup_embedding was allowlisted through r2 (all-pairs BNLJ); it is
     // now banded sign-LSH with an equi-join — no cross join to excuse
 
