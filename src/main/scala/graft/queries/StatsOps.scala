@@ -10,9 +10,9 @@ import graft.{Q, Tables => T}
   *
   * Float discipline (SURVEY §2 D-rules): interpolated quantiles and
   * regression co-moments are rounded to a fixed dp on BOTH sides (the
-  * agg_corr/agg_percentile precedent); running CUSUM sums go through
-  * DECIMAL(18,6) so the windowed accumulation is exact and
-  * order-independent; log2 sums are rounded like text_entropy.
+  * agg_corr/agg_percentile precedent); the CUSUM runs in exact integer
+  * cents with denominators cleared — no rounding at all; log2 sums are
+  * rounded like text_entropy.
   */
 object StatsOps {
 
@@ -79,47 +79,55 @@ object StatsOps {
   }
 
   /** CUSUM drift detection per series: running sum of deviations of the
-    * hourly mean from the series mean. Both the hourly mean and the
-    * series mean are rounded to 6 dp and re-cast to DECIMAL(18,6), so
-    * the cumulative window sum is EXACT decimal arithmetic — the running
-    * total is order-independent and engine-identical, unlike a raw
-    * double cumsum. Threshold 200 marks sustained drift.
+    * hourly revenue total from the series' mean hourly total. NO
+    * rounding anywhere: hourly totals become exact integer CENTS, and
+    * the rational mean S/n is cleared of its denominator —
+    * n·cusum_k = n·prefix_k − k·S is computed in exact integers, the
+    * drift flag compares integers (|scaled| > 2000·100·n ⇔ |cusum| >
+    * 2000), and the displayed cusum is ONE IEEE division of exact
+    * integers, bit-identical cross-engine at any scale factor. (The
+    * first cut rounded per-hour means to 6 dp; at sf1 one of 3600
+    * values landed on a round-half boundary where Spark's
+    * BigDecimal HALF_UP and DuckDB's scaled-multiply rounding
+    * disagree by 1e-6 — this formulation removes the class.)
+    * Integer headroom: n·prefix stays < 2^53 until the per-series
+    * corpus exceeds ~10^5 hours × ~$10^9/hour — document, don't round.
     */
   val tsCusum: Q = Q(
     "ts_cusum",
     """WITH hourly AS (
       |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
-      |         round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS hm
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
       |  FROM events GROUP BY 1, 2),
-      |stats AS (
-      |  SELECT event_type AS st,
-      |         round(CAST(sum(CAST(hm AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mu
-      |  FROM hourly GROUP BY 1),
       |cs AS (
-      |  SELECT h.event_type, h.h,
-      |         CAST(sum(CAST(h.hm AS DECIMAL(18,6)) - CAST(s.mu AS DECIMAL(18,6)))
-      |              OVER (PARTITION BY h.event_type ORDER BY h.h
-      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cusum
-      |  FROM hourly h JOIN stats s ON h.event_type = s.st)
-      |SELECT event_type, h, cusum, abs(cusum) > 200.0 AS drift
+      |  SELECT event_type, h,
+      |         CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY h
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pfx,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS k,
+      |         CAST(sum(cents) OVER (PARTITION BY event_type) AS BIGINT) AS s_tot,
+      |         count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM hourly)
+      |SELECT event_type, h,
+      |       CAST(n * pfx - k * s_tot AS DOUBLE) / CAST(n * 100 AS DOUBLE) AS cusum,
+      |       abs(n * pfx - k * s_tot) > 200000 * n AS drift
       |FROM cs ORDER BY event_type NULLS FIRST, h NULLS FIRST""".stripMargin
   ) { (s, d) =>
     val hourly = T.events(s, d)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-      .agg(sum(T.dec2(col("value"))).as("sv"), count(lit(1)).as("cnt"))
-      .select(col("event_type"), col("h"),
-        round(col("sv").cast("double") / col("cnt"), 6).as("hm"))
-    val stats = hourly.groupBy(col("event_type").as("st"))
-      .agg(round(sum(col("hm").cast("decimal(18,6)")).cast("double")
-        / count(lit(1)), 6).as("mu"))
-    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .agg((sum(T.dec2(col("value"))) * 100).cast("long").as("cents"))
+    val wRun = Window.partitionBy(col("event_type")).orderBy(col("h"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    hourly.join(broadcast(stats), col("event_type") === col("st"))
-      .withColumn("cusum",
-        sum(col("hm").cast("decimal(18,6)") - col("mu").cast("decimal(18,6)"))
-          .over(w).cast("double"))
-      .select(col("event_type"), col("h"), col("cusum"),
-        (abs(col("cusum")) > lit(200.0)).as("drift"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val scaled = col("n") * col("pfx") - col("k") * col("s_tot")
+    hourly
+      .withColumn("pfx", sum(col("cents")).over(wRun).cast("long"))
+      .withColumn("k", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("h"))))
+      .withColumn("s_tot", sum(col("cents")).over(wAll).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .select(col("event_type"), col("h"),
+        (scaled.cast("double") / (col("n") * 100).cast("double")).as("cusum"),
+        (abs(scaled) > lit(200000L) * col("n")).as("drift"))
       .orderBy(col("event_type").asc_nulls_first, col("h").asc_nulls_first)
   }
 

@@ -91,39 +91,50 @@ class PatternStatsSpec extends SparkSpec {
     assert(expected.size < agg.size, "frontier equals the whole set — dominance unexercised")
   }
 
-  test("ts_cusum matches an exact decimal replay; drift flag consistent") {
-    val hourly = events
+  test("ts_cusum matches an exact integer-cents replay; drift flag consistent") {
+    // sf0.01: the drift threshold flags 0 rows on sf0.001's sparse hours,
+    // which would leave the flag untested
+    val dir = sf("sf0.01")
+    val events01 = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toInstant, r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    // replay in exact integers: cents per (series, hour), prefix sums,
+    // denominators cleared — the same arithmetic the query declares
+    val hourly = events01
       .map(e => ((e._4, e._2.truncatedTo(ChronoUnit.HOURS)), dec2(e._5)))
       .groupBy(_._1)
       .map { case ((t, h), vs) =>
-        (t, h, round6(vs.map(_._2).reduce(_ add _).doubleValue / vs.size)) }
+        (t, h, vs.map(_._2).reduce(_ add _).movePointRight(2).longValueExact) }
       .toSeq
-    val mu = hourly.groupBy(_._1).map { case (t, rows) =>
-      t -> round6(rows.map(r => dec6(r._3)).reduce(_ add _).doubleValue / rows.size)
-    }
     val expected = hourly.groupBy(_._1).flatMap { case (t, rows) =>
-      var acc = JBD.ZERO
-      rows.sortBy(_._2).map { case (_, h, hm) =>
-        acc = acc.add(dec6(hm).subtract(dec6(mu(t))))
-        (t, h) -> acc.doubleValue
+      val ordered = rows.sortBy(_._2)
+      val sTot = ordered.map(_._3).sum
+      val n = ordered.size.toLong
+      var pfx = 0L
+      ordered.zipWithIndex.map { case ((_, h, cents), i) =>
+        pfx += cents
+        val scaled = n * pfx - (i + 1) * sTot
+        (t, h) -> (scaled.toDouble / (n * 100).toDouble,
+          math.abs(scaled) > 200000L * n)
       }
     }
-    val got = StatsOps.tsCusum.fn(spark, sf()).collect()
+    val got = StatsOps.tsCusum.fn(spark, dir).collect()
       .map(r => (r.getString(0), r.getTimestamp(1).toInstant) ->
         (r.getDouble(2), r.getBoolean(3)))
     assert(got.length == expected.size)
     got.foreach { case (k, (cusum, drift)) =>
-      assert(expected(k) == cusum, s"cusum mismatch at $k")
-      assert(drift == (math.abs(cusum) > 200.0), s"drift flag inconsistent at $k")
+      assert(expected(k)._1 == cusum, s"cusum mismatch at $k")
+      assert(expected(k)._2 == drift, s"drift flag mismatch at $k")
     }
-    // telescoping: the last cusum of each series collapses to
-    // n_hours * (rounding residue of mu) — bounded by n * 5e-7
+    // telescoping: the final scaled deviation n·S − n·S is EXACTLY zero
     got.groupBy(_._1._1).foreach { case (t, rows) =>
       val last = rows.maxBy(_._1._2)._2._1
-      val n = rows.size
-      assert(math.abs(last) <= n * 5e-7 + 1e-9,
-        s"series $t final cusum $last exceeds the mu-rounding bound")
+      assert(last == 0.0, s"series $t final cusum $last should be exactly 0")
     }
+    assert(got.exists(_._2._2) && got.exists(!_._2._2),
+      "drift threshold should split the corpus, not saturate it")
   }
 
   test("dq_outlier_iqr matches a driver-side quantile/fence recompute") {
