@@ -472,10 +472,61 @@ object NoOracle {
       .orderBy(col("user_id").asc_nulls_first)
   }
 
+  /** B5's THIRD pruning lever (after static bucketing and hive
+    * partition pruning): RUNTIME bloom-filter join pruning. Catalyst's
+    * InjectRuntimeFilter rewrites a big-probe ⋈ selectively-filtered
+    * build shuffle join so a bloom filter built from the build side's
+    * join keys is applied on the probe side BEFORE the shuffle — at
+    * 100 TB this skips most of the probe scan+shuffle for selective
+    * dimension predicates, with no pre-declared layout. The size
+    * thresholds are lowered to corpus scale and broadcast is disabled
+    * (a broadcast join would subsume the filter); the row then asserts
+    * `BloomFilterMightContain` landed in the EXECUTED plan via an
+    * expression-tree walk (not string matching) and carries the result
+    * cardinality, so the driver-visible row proves the rewrite fired.
+    * Confs are saved/restored — Verify runs 188 sibling queries in the
+    * same session.
+    */
+  val runtimeBloomFilter: Q = Q.noOracle("b5_runtime_bloom") { (s, d) =>
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val probe = T.lineitem(s, d).select(col("l_partkey"), col("l_quantity"))
+      val build = T.part(s, d)
+        .filter(col("p_brand") === "Brand#17").select(col("p_partkey"))
+      val joined = probe.join(build, col("l_partkey") === col("p_partkey"))
+      val n = joined.count() // execute under the lowered thresholds
+      import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      def hasBloom(p: SparkPlan): Boolean = p match {
+        case a: AdaptiveSparkPlanExec => hasBloom(a.executedPlan)
+        case other =>
+          other.expressions.exists(
+            _.exists(_.isInstanceOf[BloomFilterMightContain])) ||
+            other.children.exists(hasBloom)
+      }
+      val injected = hasBloom(joined.queryExecution.executedPlan)
+      val one = s.range(1).toDF("x")
+      one.select(
+        lit(n).as("n_rows"),
+        lit(injected).as("bloom_injected"))
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   val all: Seq[Q] = Seq(
     approxDistinct, approxPercentile, countMin, approxTopK, sampleSeeded,
     lshTextNearDup, lshEmbeddingNear, csvRejects, jsonRejects, loadAudit,
-    schemaEvolution, bucketedJoin, partitionPruning, udfSurface,
-    multimodalFeatures, multimodalFrames, multimodalResize,
+    schemaEvolution, bucketedJoin, partitionPruning, runtimeBloomFilter,
+    udfSurface, multimodalFeatures, multimodalFrames, multimodalResize,
     streamStateBatchRun, streamTransformBatchRun)
 }
