@@ -360,8 +360,60 @@ object Joins {
       .orderBy(col("event_id").asc_nulls_first)
   }
 
+  /** Nearest-event time join (both directions, ±1 h tolerance): each
+    * purchase matched to the temporally CLOSEST click by the same user —
+    * the sensor-alignment shape join_asof's backward-only semantics
+    * cannot express. µs-tie → earlier click, then click id. Candidates
+    * come from an hour-bucket equi-join (purchase side exploded to its
+    * 3 adjacent buckets; |Δt| ≤ 1 h ⇒ bucket distance ≤ 1, and each
+    * pair matches exactly one bucket value — no dedup needed), then one
+    * row_number per purchase: bounded fan-out, never user×user history.
+    * Distances compared as exact integer microseconds.
+    */
+  val joinAsofNearest: Q = Q(
+    "join_asof_nearest",
+    """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS pts
+      |           FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS click_id, user_id, ts AS cts
+      |      FROM events WHERE event_type = 'click'),
+      |cand AS (
+      |  SELECT p.purchase_id, p.user_id, c.click_id,
+      |         abs(epoch_us(p.pts) - epoch_us(c.cts)) AS dist_us,
+      |         row_number() OVER (PARTITION BY p.purchase_id
+      |           ORDER BY abs(epoch_us(p.pts) - epoch_us(c.cts)) ASC,
+      |                    c.cts ASC, c.click_id ASC) AS rn
+      |  FROM p JOIN c ON p.user_id = c.user_id
+      |   AND c.cts >= p.pts - INTERVAL 1 HOUR
+      |   AND c.cts <= p.pts + INTERVAL 1 HOUR)
+      |SELECT purchase_id, user_id, click_id, dist_us
+      |FROM cand WHERE rn = 1 ORDER BY purchase_id NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val ev = T.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("pts"), expr("unix_micros(ts) div 3600000000").as("b"))
+    val pB = p.select(col("purchase_id"), col("user_id"), col("pts"),
+      explode(array(col("b") - 1, col("b"), col("b") + 1)).as("bucket"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("cts"), expr("unix_micros(ts) div 3600000000").as("c_bucket"))
+    val cand = pB.join(c,
+      col("user_id") === col("c_user") && col("bucket") === col("c_bucket")
+        && col("cts") >= col("pts") - expr("interval 1 hour")
+        && col("cts") <= col("pts") + expr("interval 1 hour"))
+      .withColumn("dist_us", abs(unix_micros(col("pts")) - unix_micros(col("cts"))))
+    val w = Window.partitionBy(col("purchase_id"))
+      .orderBy(col("dist_us").asc, col("cts").asc, col("click_id").asc)
+    cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("purchase_id"), col("user_id"), col("click_id"), col("dist_us"))
+      .orderBy(col("purchase_id").asc_nulls_first)
+  }
+
   val all: Seq[Q] = Seq(
     joinInnerEqui, joinBroadcast, joinLeftOuter, joinFullOuter,
     joinSemi, joinAnti, joinThetaRange, joinAsof, joinAsofTolerance,
-    joinCrossSmall, joinSkewSalted, joinLateral, joinRangeBinned)
+    joinCrossSmall, joinSkewSalted, joinLateral, joinRangeBinned,
+    joinAsofNearest)
 }

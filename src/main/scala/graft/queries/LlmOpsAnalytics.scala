@@ -436,7 +436,55 @@ object LlmOpsAnalytics {
       .orderBy(col("touch_type").asc_nulls_first)
   }
 
+  /** Cohort LTV curves: users cohorted by first-seen DAY, purchase
+    * revenue accumulated per cohort over age-in-days — the cumulative
+    * companion to cohort_retention's presence counts. The running total
+    * is a decimal window sum over the (cohort × age) AGGREGATE (≤ days²
+    * rows), partitioned by cohort — exact and parallel; the raw stream
+    * is only touched by the one first-seen aggregate and one equi-join
+    * co-partitioned on user_id.
+    */
+  val cohortLtv: Q = Q(
+    "cohort_ltv",
+    """WITH firstday AS (
+      |  SELECT user_id, CAST(min(ts) AS DATE) AS cohort FROM events GROUP BY 1),
+      |rev AS (
+      |  SELECT e.user_id, f.cohort,
+      |         CAST(date_diff('day', f.cohort, CAST(e.ts AS DATE)) AS BIGINT) AS age_days,
+      |         CAST(e.value AS DECIMAL(18,2)) AS v
+      |  FROM events e JOIN firstday f ON e.user_id = f.user_id
+      |  WHERE e.event_type = 'purchase'),
+      |d AS (
+      |  SELECT cohort, age_days, sum(v) AS day_rev,
+      |         count(DISTINCT user_id) AS active_users
+      |  FROM rev GROUP BY 1, 2)
+      |SELECT cohort, age_days,
+      |       CAST(sum(day_rev) OVER (PARTITION BY cohort ORDER BY age_days
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue,
+      |       active_users
+      |FROM d ORDER BY cohort NULLS FIRST, age_days NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val ev = T.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+    val firstday = ev.groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("cohort"))
+    val rev = ev.filter(col("event_type") === "purchase")
+      .join(firstday, "user_id")
+      .select(col("user_id"), col("cohort"),
+        datediff(to_date(col("ts")), col("cohort")).cast("long").as("age_days"),
+        T.dec2(col("value")).as("v"))
+    val byAge = rev.groupBy(col("cohort"), col("age_days"))
+      .agg(sum(col("v")).as("day_rev"),
+        countDistinct(col("user_id")).as("active_users"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("age_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byAge.select(col("cohort"), col("age_days"),
+      sum(col("day_rev")).over(w).cast("double").as("cum_revenue"),
+      col("active_users"))
+      .orderBy(col("cohort").asc_nulls_first, col("age_days").asc_nulls_first)
+  }
+
   val all: Seq[Q] = Seq(funnelSteps, funnelTimebound, cohortRetention,
     packSequences, dedupCluster, embeddingQuantize, textRarity,
-    eventAttribution)
+    eventAttribution, cohortLtv)
 }

@@ -175,7 +175,45 @@ object WindowsQ {
       .limit(1000)
   }
 
+  /** Share-of-total per group: each supplier's revenue share of its
+    * nation's total, plus revenue rank — the BI "percent of category"
+    * shape. Numerator and denominator are EXACT decimal sums; the share
+    * is a single IEEE division of their double casts (deterministic
+    * cross-engine — same inputs, one correctly-rounded op, no round()).
+    * Rank's ordering is made unique by the supplier-key suffix (D1).
+    */
+  val windowShareOfTotal: Q = Q(
+    "window_share_of_total",
+    """WITH rev AS (
+      |  SELECT s.s_nationkey, s.s_suppkey,
+      |         sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS rev
+      |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY 1, 2)
+      |SELECT s_nationkey, s_suppkey,
+      |       CAST(rev AS DOUBLE) AS revenue,
+      |       CAST(rev AS DOUBLE) / CAST(sum(rev) OVER (PARTITION BY s_nationkey) AS DOUBLE) AS share,
+      |       CAST(rank() OVER (PARTITION BY s_nationkey
+      |            ORDER BY rev DESC, s_suppkey ASC) AS BIGINT) AS rk
+      |FROM rev
+      |ORDER BY s_nationkey NULLS FIRST, s_suppkey NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val rev = T.lineitem(s, d).groupBy(col("l_suppkey"))
+      .agg(sum(T.dec2(col("l_extendedprice"))).as("rev"))
+      .join(T.supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+    val wN = Window.partitionBy(col("s_nationkey"))
+    val wR = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("rev").desc, col("s_suppkey").asc)
+    rev.select(col("s_nationkey"), col("s_suppkey"),
+      col("rev").cast("double").as("revenue"),
+      (col("rev").cast("double") / sum(col("rev")).over(wN).cast("double"))
+        .as("share"),
+      rank().over(wR).cast("long").as("rk"))
+      .orderBy(col("s_nationkey").asc_nulls_first, col("s_suppkey").asc_nulls_first)
+  }
+
   val all: Seq[Q] = Seq(
     windowRank, windowRunning, windowLeadLag, windowRangeFrame,
-    windowFirstLastNtile, windowDistribution, windowDistinctCount)
+    windowFirstLastNtile, windowDistribution, windowDistinctCount,
+    windowShareOfTotal)
 }

@@ -206,6 +206,94 @@ class PatternStatsSpec extends SparkSpec {
       "masking left a vowel behind")
   }
 
+  test("join_asof_nearest matches a driver-side nearest scan") {
+    val byUser = events.groupBy(_._1)
+    val tolUs = 3600000000L
+    def us(i: Instant): Long = i.getEpochSecond * 1000000L + i.getNano / 1000L
+    val expected = events.filter(_._4 == "purchase").flatMap { p =>
+      val clicks = byUser(p._1).filter(_._4 == "click")
+        .filter(c => math.abs(us(c._2) - us(p._2)) <= tolUs)
+      if (clicks.isEmpty) None
+      else {
+        val best = clicks.minBy(c => (math.abs(us(c._2) - us(p._2)), us(c._2), c._3))
+        Some(p._3 -> (p._1, best._3, math.abs(us(best._2) - us(p._2))))
+      }
+    }.toMap
+    val got = graft.queries.Joins.joinAsofNearest.fn(spark, sf()).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // the bidirectional semantics must be exercised: at least one match
+    // is a FORWARD click (click after the purchase), which backward
+    // as-of can never produce
+    val forward = events.filter(_._4 == "purchase").exists { p =>
+      got.get(p._3).exists { case (_, cid, _) =>
+        byUser(p._1).exists(c => c._3 == cid && c._4 == "click" &&
+          (us(c._2) > us(p._2)))
+      }
+    }
+    assert(forward, "no forward match — nearest semantics degenerate to as-of")
+  }
+
+  test("cohort_ltv matches a driver-side cumulative replay") {
+    // sf0.01: sf0.001's users all first appear on one day — a single
+    // cohort would leave the age arithmetic across cohorts untested
+    val dir = sf("sf0.01")
+    val events01 = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toInstant, r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val firstDay = events01.groupBy(_._1).map { case (u, rows) =>
+      u -> rows.map(_._2.atZone(ZoneOffset.UTC).toLocalDate.toEpochDay).min
+    }
+    val byCohortAge = events01.filter(_._4 == "purchase")
+      .groupBy(e => (firstDay(e._1),
+        e._2.atZone(ZoneOffset.UTC).toLocalDate.toEpochDay - firstDay(e._1)))
+      .map { case ((cohort, age), rows) =>
+        (cohort, age) -> (rows.map(r => dec2(r._5)).reduce(_ add _),
+          rows.map(_._1).distinct.size.toLong)
+      }
+    val expected = byCohortAge.groupBy(_._1._1).flatMap { case (cohort, rows) =>
+      var acc = JBD.ZERO
+      rows.toSeq.sortBy(_._1._2).map { case ((_, age), (rev, users)) =>
+        acc = acc.add(rev)
+        (cohort, age) -> (acc.doubleValue, users)
+      }
+    }
+    val got = graft.queries.LlmOpsAnalytics.cohortLtv.fn(spark, dir).collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    assert(got == expected)
+    assert(got.keys.map(_._1).toSet.size >= 2, "only one cohort — age math unexercised")
+  }
+
+  test("window_share_of_total: shares sum to 1 per nation and match brute force") {
+    val li = Tables.lineitem(spark, sf())
+      .select(col("l_suppkey").cast("long"), col("l_extendedprice").cast("double"))
+      .collect().map(r => (r.getLong(0), dec2(r.getDouble(1))))
+    val sup = Tables.supplier(spark, sf())
+      .select(col("s_suppkey").cast("long"), col("s_nationkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val revBySupp = li.groupBy(_._1).map { case (sk, rows) =>
+      (sk, sup(sk), rows.map(_._2).reduce(_ add _)) }.toSeq
+    val totByNation = revBySupp.groupBy(_._2)
+      .map { case (n, rows) => n -> rows.map(_._3).reduce(_ add _) }
+    val expected = revBySupp.map { case (sk, nat, rev) =>
+      (nat, sk) -> (rev.doubleValue, rev.doubleValue / totByNation(nat).doubleValue)
+    }.toMap
+    val got = graft.queries.WindowsQ.windowShareOfTotal.fn(spark, sf()).collect()
+      .map(r => (r.get(0).asInstanceOf[Number].longValue,
+        r.get(1).asInstanceOf[Number].longValue) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(got == expected)
+    // shares within each nation sum to 1 (to IEEE accumulation error)
+    got.groupBy(_._1._1).foreach { case (nat, rows) =>
+      val s = rows.values.map(_._2).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"nation $nat shares sum to $s")
+    }
+  }
+
   test("text_bigram_logprob matches a driver-side LM recompute") {
     val docs = Tables.documents(spark, sf())
       .select(col("doc_id"), col("text")).collect()
