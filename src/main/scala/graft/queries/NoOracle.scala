@@ -523,10 +523,58 @@ object NoOracle {
     }
   }
 
+  /** B7 depth surfaced to the driver: the WATERMARKED STREAM-STREAM
+    * interval join (each purchase ⋈ same-user clicks in the preceding
+    * 30 min) through Spark's unified API in batch mode — the watermark
+    * is a no-op on bounded input; the RUNTIME twin over MemoryStreams,
+    * where the watermark actually evicts join state, is pinned in
+    * StreamOpsSpec. Declared columns are the deterministic id pairs.
+    */
+  val streamJoinBatchRun: Q = Q.noOracle("b7_stream_join") { (s, d) =>
+    val ev = T.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    graft.streaming.StreamOps.clickToPurchaseJoin(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"))
+      .orderBy(col("purchase_id").asc_nulls_first, col("click_id").asc_nulls_first)
+  }
+
+  /** B5 lake maintenance surfaced to the driver: SMALL-FILE COMPACTION.
+    * The row writes a deliberately fragmented lake (64 files for a few
+    * thousand rows — the classic streaming-sink pathology that poisons
+    * 100 TB scans with per-file open/footer costs), compacts it to 4
+    * with ParquetSink.compact (repartition + atomic stage-swap), and
+    * reports before/after file counts plus a row-count invariance flag.
+    */
+  val compaction: Q = Q.noOracle("b5_compaction") { (s, d) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft_b5_compact_")
+      .resolve("lake").toString
+    val src = T.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice"))
+    src.repartition(64).write.mode("overwrite").parquet(tmp)
+    def dataFiles(): Long = {
+      val fs = graft.ingest.LakeFs.fs(s, tmp)
+      fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .count(_.getPath.getName.endsWith(".parquet")).toLong
+    }
+    val before = dataFiles()
+    val nBefore = s.read.parquet(tmp).count()
+    graft.ingest.ParquetSink.compact(s, tmp, targetPartitions = 4)
+    val after = dataFiles()
+    val nAfter = s.read.parquet(tmp).count()
+    s.range(1).select(
+      lit(before).as("files_before"),
+      lit(after).as("files_after"),
+      lit(nBefore).as("n_rows"),
+      lit(before >= 64 && after <= 4 && nBefore == nAfter).as("compacted"))
+  }
+
   val all: Seq[Q] = Seq(
     approxDistinct, approxPercentile, countMin, approxTopK, sampleSeeded,
     lshTextNearDup, lshEmbeddingNear, csvRejects, jsonRejects, loadAudit,
     schemaEvolution, bucketedJoin, partitionPruning, runtimeBloomFilter,
     udfSurface, multimodalFeatures, multimodalFrames, multimodalResize,
-    streamStateBatchRun, streamTransformBatchRun)
+    streamStateBatchRun, streamTransformBatchRun, streamJoinBatchRun,
+    compaction)
 }
