@@ -57,6 +57,10 @@ object Lsh {
       .setInputCol("shingles").setOutputCol("features")
       .setNumFeatures(1 << 18).setBinary(true)
     val vecs = tf.transform(shingled)
+    // spark.ml LSH fit() reads the first row for dimensionality and
+    // throws on an empty dataset — an empty corpus (routine in a daily
+    // batch) must yield an empty pair set, not a crash
+    if (vecs.isEmpty) return emptyPairs(spark, "a", "b")
     val mh = new MinHashLSH()
       .setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numHashTables).setSeed(42L)
@@ -100,6 +104,8 @@ object Lsh {
                          numHashTables: Int = 4): DataFrame = {
     val w = if (bucketLength > 0) bucketLength else maxL2Distance
     val vecs = embeddings.select(col("vec_id"), toVec(col("embedding")).as("features"))
+    // same empty-corpus guard as textNearDupPairs: fit() needs a row
+    if (vecs.isEmpty) return emptyPairs(spark, "a", "b")
     val brp = new BucketedRandomProjectionLSH()
       .setInputCol("features").setOutputCol("hashes")
       .setBucketLength(w).setNumHashTables(numHashTables).setSeed(42L)
@@ -111,5 +117,15 @@ object Lsh {
         col("datasetB.vec_id").as("b"),
         col("dist"))
       .filter(col("a") < col("b"))
+  }
+
+  /** Zero-row (aCol, bCol, dist) frame with the pair-result schema. */
+  private def emptyPairs(spark: SparkSession, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      StructType(Seq(
+        StructField(aCol, LongType), StructField(bCol, LongType),
+        StructField("dist", DoubleType))))
   }
 }

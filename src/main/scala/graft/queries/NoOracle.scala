@@ -233,10 +233,13 @@ object NoOracle {
     */
   val partitionPruning: Q = Q.noOracle("b5_partition_pruning") { (s, d) =>
     val tmp = java.nio.file.Files.createTempDirectory("graft_b5_part_")
-    T.events(s, d)
+    val src = T.events(s, d)
       .select(col("event_id"), col("event_type"), col("value"))
-      .write.mode("overwrite").partitionBy("event_type").parquet(tmp.toString)
-    val pruned = s.read.parquet(tmp.toString)
+    src.write.mode("overwrite").partitionBy("event_type").parquet(tmp.toString)
+    // explicit schema: an EMPTY corpus writes zero partition dirs and
+    // schema inference would throw UNABLE_TO_INFER_SCHEMA — the empty
+    // daily batch must degrade to a 0/0 row, not a crash
+    val pruned = s.read.schema(src.schema).parquet(tmp.toString)
       .filter(col("event_type") === "click")
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
@@ -247,7 +250,7 @@ object NoOracle {
     }
     val scan = scans(pruned.queryExecution.executedPlan).head
     val selected = scan.selectedPartitions.partitionCount.toLong
-    val total = s.read.parquet(tmp.toString)
+    val total = s.read.schema(src.schema).parquet(tmp.toString)
       .select(col("event_type")).distinct().count()
     pruned
       .agg(count(lit(1)).as("n_rows"))
