@@ -79,11 +79,22 @@ object PatternOps {
 
   /** Skyline / Pareto frontier: per nation, the suppliers not dominated
     * on (shipped quantity ↑, total cost ↓) by any same-nation supplier.
-    * Dominance runs as a LEFT ANTI self-join whose join key is the
-    * nation — an equi hash join with a per-group quadratic residual
-    * bounded by |suppliers per nation|, never an all-pairs cross.
     * Quantities are integral longs, cost is exact DECIMAL(18,2): every
     * dominance comparison is exact, no float ties.
+    *
+    * The 2-D skyline needs no self-join: dominance decomposes into
+    * (a) some STRICTLY-higher-qty supplier is no more expensive —
+    * `min(cost) RANGE [qty+1, ∞)` (integer range frame), and
+    * (b) some SAME-qty supplier is strictly cheaper — `min(cost)` over
+    * the (nation, qty) group. Two sort-based windows per nation,
+    * O(n log n), replacing the first cut's LEFT ANTI self-join and its
+    * per-group quadratic residual. Measured wall time at sf1 is
+    * UNCHANGED (~3.7 s) — the dominant cost there is the 60M-row
+    * lineitem rollup, not the skyline stage — but at dimension
+    * cardinalities where groups are large (supplier×part skylines),
+    * the quadratic term is the one that kills; this shape has none.
+    * The oracle keeps the NOT EXISTS formulation — semantics
+    * unchanged, only the plan.
     */
   val paretoFrontier: Q = Q(
     "pareto_frontier",
@@ -110,13 +121,21 @@ object PatternOps {
     val agg = li.join(sup, col("l_suppkey") === col("s_suppkey"))
       .select(col("s_nationkey"), col("s_suppkey"), col("s_name"),
         col("qty"), col("cost"))
-    agg.join(
-      agg.select(col("s_nationkey").as("b_nat"), col("qty").as("b_qty"),
-        col("cost").as("b_cost")),
-      col("s_nationkey") === col("b_nat")
-        && col("b_qty") >= col("qty") && col("b_cost") <= col("cost")
-        && (col("b_qty") > col("qty") || col("b_cost") < col("cost")),
-      "left_anti")
+    // (a) cheapest cost among strictly-higher-qty same-nation suppliers
+    val wHigher = Window.partitionBy(col("s_nationkey")).orderBy(col("qty"))
+      .rangeBetween(1L, Window.unboundedFollowing)
+    // (b) cheapest cost within the same (nation, qty) group (incl. self)
+    val wSameQty = Window.partitionBy(col("s_nationkey"), col("qty"))
+    agg
+      .withColumn("min_cost_higher", min(col("cost")).over(wHigher))
+      .withColumn("min_cost_same", min(col("cost")).over(wSameQty))
+      .filter(
+        // no higher-qty supplier at <= cost (null = no higher-qty rows)
+        (col("min_cost_higher").isNull || col("min_cost_higher") > col("cost"))
+          // and no same-qty supplier strictly cheaper
+          && !(col("min_cost_same") < col("cost")))
+      .select(col("s_nationkey"), col("s_suppkey"), col("s_name"),
+        col("qty"), col("cost"))
       .orderBy(col("s_nationkey").asc_nulls_first, col("s_suppkey").asc_nulls_first)
   }
 
