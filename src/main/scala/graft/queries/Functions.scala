@@ -302,7 +302,71 @@ object Functions {
       .limit(100)
   }
 
+  /** Higher-order array functions — lambda transform / filter / fold /
+    * existential over a deterministic per-row integer array. Spark's
+    * `aggregate(arr, 0L, (a,x) -> a+x)` (explicit zero) is mirrored by
+    * DuckDB's `list_reduce` (seeds from the first element) — equal on
+    * the NONEMPTY arrays this derivation guarantees (len ∈ [2, 8]);
+    * `exists` has no DuckDB twin, so both sides agree on the
+    * filter-then-count formulation's semantics. All integer arithmetic.
+    */
+  val fnArrayHof: Q = Q(
+    "fn_array_hof",
+    """WITH t AS (SELECT o_orderkey, generate_series(1, o_orderkey % 7 + 2) AS arr
+      |           FROM orders)
+      |SELECT o_orderkey,
+      |       CAST(len(arr) AS BIGINT) AS arr_len,
+      |       CAST(list_reduce(list_transform(arr, x -> x * x), (a, x) -> a + x) AS BIGINT) AS sq_sum,
+      |       CAST(len(list_filter(arr, x -> x % 2 = 0)) AS BIGINT) AS n_even,
+      |       len(list_filter(arr, x -> x > 5)) > 0 AS has_gt5
+      |FROM t ORDER BY o_orderkey NULLS FIRST LIMIT 200""".stripMargin
+  ) { (s, d) =>
+    T.orders(s, d)
+      .select(col("o_orderkey"),
+        expr("sequence(1, o_orderkey % 7 + 2)").as("arr"))
+      .select(col("o_orderkey"),
+        size(col("arr")).cast("long").as("arr_len"),
+        expr("aggregate(transform(arr, x -> x * x), 0L, (a, x) -> a + x)")
+          .as("sq_sum"),
+        expr("size(filter(arr, x -> x % 2 = 0))").cast("long").as("n_even"),
+        expr("exists(arr, x -> x > 5)").as("has_gt5"))
+      .orderBy(col("o_orderkey").asc_nulls_first)
+      .limit(200)
+  }
+
+  /** Calendar arithmetic beyond fn_date: month-end, month-add with
+    * end-of-month clamping (both engines clamp Jan 31 + 1 mo →
+    * Feb 29), ISO day-of-week (Spark's Monday-0 `weekday` + 1 ==
+    * DuckDB's `isodow`), quarter start, ISO week number, and
+    * `make_date` from parts (day 28 — valid in every year, because
+    * DuckDB's make_date THROWS on invalid dates while Spark returns
+    * null, so the derivation must stay in the always-valid domain).
+    */
+  val fnDate2: Q = Q(
+    "fn_date2",
+    """SELECT o_orderkey,
+      |       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |       CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS next_month,
+      |       CAST(isodow(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_dow,
+      |       CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE) AS quarter_start,
+      |       CAST(datepart('week', CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_week,
+      |       make_date(CAST(datepart('year', o_orderdate) AS INTEGER), 12, 28) AS year_ref
+      |FROM orders ORDER BY o_orderkey NULLS FIRST LIMIT 200""".stripMargin
+  ) { (s, d) =>
+    val dt = to_date(col("o_orderdate"))
+    T.orders(s, d)
+      .select(col("o_orderkey"),
+        last_day(dt).as("month_end"),
+        add_months(dt, 1).as("next_month"),
+        (weekday(dt) + 1).cast("long").as("iso_dow"),
+        date_trunc("quarter", dt).cast("date").as("quarter_start"),
+        weekofyear(dt).cast("long").as("iso_week"),
+        make_date(year(col("o_orderdate")), lit(12), lit(28)).as("year_ref"))
+      .orderBy(col("o_orderkey").asc_nulls_first)
+      .limit(200)
+  }
+
   val all: Seq[Q] = Seq(
     fnString, fnDate, fnMath, fnArray, fnMap, fnJson, fnTrycast,
-    fnArraySetops, fnString2)
+    fnArraySetops, fnString2, fnArrayHof, fnDate2)
 }
