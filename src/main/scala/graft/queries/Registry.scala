@@ -13,7 +13,8 @@ object Registry {
         StreamingBatch.all ++ LlmOpsExt.all ++ LlmOpsAnn.all ++ AggregatesExt.all ++
         MiscOps.all ++ LlmOpsCurate.all ++ LlmOpsPipeline.all ++ TpchShapes.all ++ TpchShapes2.all ++
         TimeSeriesOps.all ++ LlmOpsAnalytics.all ++ CdcOps.all ++ CorpusOps.all ++
-        QualityOps.all ++ PatternOps.all ++ StatsOps.all ++ NoOracle.all
+        QualityOps.all ++ PatternOps.all ++ StatsOps.all ++ SegmentOps.all ++
+        NoOracle.all
     // a duplicate key would silently shadow a query in SparkEntry's Map
     val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
     require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")

@@ -27,7 +27,9 @@ class PlanQualitySpec extends SparkSpec {
     "dq_freshness",        // 1-row global-max aggregate crossed into the per-series frame (r6, replaced the unpartitioned window)
     "tpch_q11",            // 1-row global-total threshold crossed into the grouped frame
     "tpch_q22",            // 1-row avg-balance scalar crossed into the customer subset
-    "text_bigram_logprob") // 1-row corpus-total aggregate crossed into the model join
+    "text_bigram_logprob", // 1-row corpus-total aggregate crossed into the model join
+    "rfm_segment",         // 1-row anchor + 1-row quintile-cutpoint aggregates crossed in
+    "benford_digits")      // 1-row corpus-total aggregate crossed into the digit counts
     // dedup_embedding was allowlisted through r2 (all-pairs BNLJ); it is
     // now banded sign-LSH with an equi-join — no cross join to excuse
 

@@ -1,0 +1,156 @@
+package graft
+
+import java.math.{BigDecimal => JBD, RoundingMode}
+import org.apache.spark.sql.functions._
+import graft.queries.SegmentOps
+
+/** Ground-truth pins for the segmentation/behavioral wave: each
+  * operator is recomputed independently in driver-side Scala over
+  * collected rows and compared (exactly for integer outputs, at the
+  * query's declared rounding for float outputs).
+  */
+class SegmentOpsSpec extends SparkSpec {
+
+  private def dec2(v: Double): JBD = JBD.valueOf(v).setScale(2, RoundingMode.HALF_UP)
+  private def round6(v: Double): Double =
+    JBD.valueOf(v).setScale(6, RoundingMode.HALF_UP).doubleValue
+
+  test("max_concurrency matches a driver-side interval sweep") {
+    val rows = Tables.events(spark, sf())
+      .select(col("event_type"), unix_micros(col("ts")), col("event_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = rows.groupBy(_._1).map { case (t, es) =>
+      // (time, delta, event_id) with closes (−1) before opens (+1): the
+      // same total order the query's window declares
+      val pts = es.flatMap(e => Seq((e._2, 1, e._3), (e._2 + 300000000L, -1, e._3)))
+        .sortBy(p => (p._1, p._2, p._3))
+      var cur = 0L; var peak = 0L
+      pts.foreach { p => cur += p._2; if (cur > peak) peak = cur }
+      t -> ((peak, es.length.toLong))
+    }
+    val got = SegmentOps.maxConcurrency.fn(spark, sf()).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._1 > 1), "sweep never saw overlapping intervals")
+  }
+
+  test("transition_matrix: counts recompute exactly and rows condition to 1") {
+    val rows = Tables.events(spark, sf())
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toInstant, r.getLong(2), r.getString(3)))
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val seq = es.sortBy(e => (e._2.getEpochSecond, e._2.getNano.toLong, e._3))
+      seq.zip(seq.drop(1)).map(p => (p._1._4, p._2._4))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = SegmentOps.transitionMatrix.fn(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+    assert(got.map { case (k, v) => k -> v._1 }.toMap == expected)
+    // each source row's probabilities must sum to 1 (±1e-5 for the 6-dp rounding)
+    got.groupBy(_._1._1).foreach { case (src, rs) =>
+      val tot = rs.map(_._2._2).sum
+      assert(math.abs(tot - 1.0) < 1e-5, s"$src transition probs sum to $tot")
+    }
+  }
+
+  test("gini_segment matches the rank-formula recompute in exact cents") {
+    val spend = Tables.customer(spark, sf())
+      .join(Tables.orders(spark, sf()),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("c_mktsegment"), col("c_custkey"), col("o_totalprice"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val expected = spend.groupBy(_._1).map { case (seg, rs) =>
+      val byCust = rs.groupBy(_._2).toSeq.map { case (ck, os) =>
+        (ck, os.map(o => dec2(o._3)).reduce(_ add _)
+          .multiply(new JBD(100)).setScale(0).longValueExact)
+      }.sortBy(c => (c._2, c._1))
+      val n = byCust.size.toLong
+      val stot = byCust.map(_._2).sum
+      val s1 = byCust.zipWithIndex.map { case ((_, c), i) => (i + 1) * c }.sum
+      seg -> ((n, round6((2.0 * s1 - (n + 1.0) * stot) / (n.toDouble * stot))))
+    }
+    val got = SegmentOps.giniSegment.fn(spark, sf()).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (seg, (n, g)) =>
+      assert(n == expected(seg)._1, s"$seg customer count")
+      assert(math.abs(g - expected(seg)._2) < 2e-6, s"$seg gini $g vs ${expected(seg)._2}")
+      assert(g >= 0.0 && g < 1.0, s"$seg gini out of range: $g")
+    }
+  }
+
+  test("benford_digits: digits from decimal strings, shares sum to 1") {
+    val prices = Tables.orders(spark, sf()).select(col("o_totalprice"))
+      .collect().map(_.getDouble(0))
+    val expected = prices
+      .map(p => dec2(p).toPlainString.dropWhile(c => !('1' to '9').contains(c)).head - '0')
+      .groupBy(identity).map { case (d, v) => d -> v.length.toLong }
+    val got = SegmentOps.benfordDigits.fn(spark, sf()).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.map(g => g._1 -> g._2).toMap == expected)
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-5, "shares must sum to 1")
+    // the Benford column is data-independent: log10(1+1/d)
+    got.foreach(g => assert(g._4 == round6(math.log10(1.0 + 1.0 / g._1))))
+  }
+
+  test("rfm_segment: partitions all customers exactly once, value conserved") {
+    val nCust = Tables.orders(spark, sf())
+      .select(col("o_custkey")).distinct().count()
+    val corpusCents = Tables.orders(spark, sf())
+      .agg((sum(Tables.dec2(col("o_totalprice"))) * 100).cast("long"))
+      .collect().head.getLong(0)
+    val got = SegmentOps.rfmSegment.fn(spark, sf()).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    assert(got.map(_._4).sum == nCust, "every customer lands in exactly one cell")
+    val totalValue = got.map(g => dec2(g._5)).reduce(_ add _)
+      .multiply(new JBD(100)).setScale(0, RoundingMode.HALF_UP).longValueExact
+    assert(totalValue == corpusCents, "monetary totals must conserve corpus spend")
+    got.foreach { g =>
+      assert(g._1 >= 1 && g._1 <= 5 && g._2 >= 1 && g._2 <= 5 && g._3 >= 1 && g._3 <= 5,
+        s"scores out of 1-5: $g")
+    }
+    // quintile scoring against interpolated cutpoints must not collapse:
+    // every score value 1..5 appears in at least one cell per dimension
+    Seq(got.map(_._1), got.map(_._2), got.map(_._3)).foreach { dim =>
+      assert(dim.distinct.sorted.toSeq == Seq(1, 2, 3, 4, 5),
+        s"degenerate quintiles: ${dim.distinct.sorted.toSeq}")
+    }
+  }
+
+  test("zipf_slope: negative rank-frequency slope, exact rank count") {
+    val got = SegmentOps.zipfSlope.fn(spark, sf()).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val en = got("en")
+    assert(en._1 <= 200)
+    // the synthetic corpus is flatter than natural text (−0.19 at
+    // sf0.001 vs ≈−1 for real language) but the slope must still be
+    // decisively negative and finite
+    assert(en._2 < -0.05 && en._2 > -3.0, s"en zipf slope implausible: ${en._2}")
+  }
+
+  test("basket_brand_pairs: pair counts recompute exactly") {
+    val li = Tables.lineitem(spark, sf()).select(col("l_orderkey"), col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brand = Tables.part(spark, sf()).select(col("p_partkey"), col("p_brand"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = li.map(l => (l._1, brand(l._2))).distinct
+      .groupBy(_._1).toSeq.flatMap { case (_, bs) =>
+        val sorted = bs.map(_._2).distinct.sorted
+        for (i <- sorted.indices; j <- i + 1 until sorted.size)
+          yield (sorted(i), sorted(j))
+      }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = SegmentOps.basketBrandPairs.fn(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+    val top = expected.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.take(25)
+    assert(got.toSeq == top)
+  }
+
+  test("ts_rolling_corr emits only full 60-minute frames, corr in [-1,1]") {
+    val got = SegmentOps.tsRollingCorr.fn(spark, sf("sf0.01")).collect()
+      .map(r => (r.getTimestamp(0), r.getDouble(1)))
+    assert(got.nonEmpty, "sf0.01 must produce at least one full 60-minute frame")
+    got.foreach { case (m, c) =>
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"corr out of range at $m: $c")
+    }
+  }
+}
