@@ -456,6 +456,18 @@ object NoOracle {
       .orderBy(col("window_start").asc_nulls_first, col("event_type").asc_nulls_first)
   }
 
+  /** B13 surfaced to the driver: a REAL streaming restart — run 1
+    * aggregates half the slice and stops; run 2 restarts a new query
+    * from the same checkpoint with the other half; the row compares the
+    * recovered counts against the both-halves batch ground truth. A
+    * `recovered=false` anywhere means the state store did not survive
+    * the restart. (Runtime assertion lives in StreamOpsSpec; this row
+    * makes the capability driver-visible.)
+    */
+  val streamRestart: Q = Q.noOracle("b13_stream_restart") { (s, d) =>
+    graft.streaming.StreamOps.checkpointRestartCounts(T.events(s, d))
+  }
+
   /** B9 surfaced to the driver: the flatMapGroupsWithState custom-state
     * transform run over the bounded events table (batch mode = one
     * "micro-batch", state starts empty per key — Spark's unified API
@@ -579,5 +591,5 @@ object NoOracle {
     schemaEvolution, bucketedJoin, partitionPruning, runtimeBloomFilter,
     udfSurface, multimodalFeatures, multimodalFrames, multimodalResize,
     streamStateBatchRun, streamTransformBatchRun, streamJoinBatchRun,
-    compaction)
+    streamRestart, compaction)
 }

@@ -272,4 +272,21 @@ class StreamOpsSpec extends SparkSpec {
     assert(got.count() == 4)
     assert(got.agg(sum("n")).collect().head.getLong(0) == 4)
   }
+
+  test("checkpoint restart recovers aggregation state across query objects") {
+    val got = StreamOps.checkpointRestartCounts(graft.Tables.events(spark, sf()))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.nonEmpty, "slice produced no event types")
+    // every type's post-restart count equals the both-halves ground
+    // truth — only possible if run 2 restored run 1's state store
+    got.foreach { case (t, nStream, nBatch, recovered) =>
+      assert(recovered && nStream == nBatch, s"$t: stream=$nStream batch=$nBatch")
+    }
+    // the restart must actually have been exercised: both halves of the
+    // slice are nonempty, so a state-less run 2 would undercount
+    val ids = graft.Tables.events(spark, sf())
+      .select(col("event_id")).collect().map(_.getLong(0)).filter(_ % 50 == 0)
+    assert(ids.exists(_ % 100 == 0) && ids.exists(_ % 100 != 0),
+      "slice halves degenerate — restart not exercised")
+  }
 }
