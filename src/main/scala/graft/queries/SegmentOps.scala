@@ -382,6 +382,147 @@ object SegmentOps {
       .orderBy(col("event_type").asc_nulls_first, col("next_type").asc_nulls_first)
   }
 
+  /** Funnel conversion-time percentiles: per user, the delay from the
+    * FIRST view to the first purchase at-or-after it, cohorted by the
+    * hour-of-day of that first view — "how fast do morning vs evening
+    * visitors convert". Delays are EXACT integer microseconds up to the
+    * last step, then ONE IEEE division to minutes (deterministic) so
+    * the interpolated percentiles run at ~10³ magnitude where a 4-dp
+    * round absorbs cross-engine ulp noise — at raw-µs magnitude
+    * (~4×10¹¹) one ulp is ~6×10⁻⁵ and NO decimal rounding is stable
+    * (measured: Spark …81.5 vs DuckDB …81.50006). Both stages are
+    * user_id-co-partitioned aggregates (the funnel_steps chain); the
+    * percentile rollup groups by the 24-value hour cohort —
+    * partial-aggregable, no window at all.
+    */
+  val funnelConversionTime: Q = Q(
+    "funnel_conversion_time",
+    """WITH fv AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS v_us
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |fp AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+      |  FROM events e JOIN fv ON e.user_id = fv.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= fv.v_us
+      |  GROUP BY 1),
+      |d AS (
+      |  SELECT fv.user_id,
+      |         CAST(fp.p_us - fv.v_us AS DOUBLE) / 60000000 AS delay_min,
+      |         CAST((fv.v_us // 3600000000) % 24 AS BIGINT) AS view_hour
+      |  FROM fv JOIN fp ON fv.user_id = fp.user_id)
+      |SELECT view_hour, CAST(count(*) AS BIGINT) AS n_converted,
+      |       round(quantile_cont(delay_min, 0.5), 4) AS p50_delay_min,
+      |       round(quantile_cont(delay_min, 0.9), 4) AS p90_delay_min
+      |FROM d GROUP BY 1 ORDER BY view_hour NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val ev = T.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val fv = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .join(fv, "user_id")
+      .filter(col("us") >= col("v_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("p_us"), min(col("v_us")).as("v_us2"))
+    fp
+      .select(col("user_id"),
+        ((col("p_us") - col("v_us2")).cast("double") / 60000000).as("delay_min"),
+        // `div` = exact integer division on longs; `/` would round-trip
+        // through double (Tables.events nanos precedent)
+        (expr("v_us2 div 3600000000") % 24).as("view_hour"))
+      .groupBy(col("view_hour"))
+      .agg(count(lit(1)).as("n_converted"),
+        round(percentile(col("delay_min"), lit(0.5)), 4).as("p50_delay_min"),
+        round(percentile(col("delay_min"), lit(0.9)), 4).as("p90_delay_min"))
+      .orderBy(col("view_hour").asc_nulls_first)
+  }
+
+  /** Herfindahl–Hirschman concentration of supplier revenue within each
+    * nation: HHI = Σ sᵢ² over revenue shares — the antitrust/market-
+    * concentration primitive. Both the numerator Σcᵢ² and denominator
+    * (Σcᵢ)² are computed from EXACT integer cents (squares summed in
+    * DECIMAL(38,0), far beyond long headroom), so the HHI is two exact
+    * sums and three IEEE ops — deterministic cross-engine without a
+    * single per-row float. Fully partial-aggregable: two nested
+    * aggregates, no window, no cross join.
+    */
+  val supplierHerfindahl: Q = Q(
+    "supplier_herfindahl",
+    """WITH sup AS (
+      |  SELECT n_name, l_suppkey,
+      |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  GROUP BY 1, 2)
+      |SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+      |       round(CAST(sum(CAST(cents AS DECIMAL(38,0)) * cents) AS DOUBLE)
+      |             / (CAST(sum(cents) AS DOUBLE) * CAST(sum(cents) AS DOUBLE)), 6)
+      |         AS hhi
+      |FROM sup GROUP BY 1 ORDER BY n_name NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val sup = T.lineitem(s, d).select(col("l_suppkey"), col("l_extendedprice"))
+      .join(T.supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(T.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("l_suppkey"))
+      .agg((sum(T.dec2(col("l_extendedprice"))) * 100).cast("long").as("cents"))
+    sup.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("cents").cast("decimal(38,0)") * col("cents")).as("sq"),
+        sum(col("cents")).as("tot"))
+      .select(col("n_name"), col("n_suppliers"),
+        round(col("sq").cast("double")
+          / (col("tot").cast("double") * col("tot").cast("double")), 6).as("hhi"))
+      .orderBy(col("n_name").asc_nulls_first)
+  }
+
+  /** Equi-depth (decile) histogram per series: 9 interpolated cutpoints
+    * per event_type, every row scored into its decile by counting
+    * cutpoints below it — the one-pass broadcast-cutpoint idiom
+    * (rfm_segment/dq_outlier_iqr), NOT an ntile window: at 100 TB the
+    * scoring join is map-side against a |series|×9 broadcast and the
+    * counting is partial-aggregable. Cutpoints rounded 6 dp on both
+    * sides; boundary ties land in the lower bucket (strict `>`) on both
+    * engines. Near-uniform bucket counts are the evidence the depth cut
+    * worked; exact equality is not expected with interpolated cuts on
+    * continuous data.
+    */
+  val equiDepthHist: Q = Q(
+    "equi_depth_hist",
+    """WITH cuts AS (
+      |  SELECT event_type AS ct,
+      |         round(quantile_cont(value, 0.1), 6) AS c1, round(quantile_cont(value, 0.2), 6) AS c2,
+      |         round(quantile_cont(value, 0.3), 6) AS c3, round(quantile_cont(value, 0.4), 6) AS c4,
+      |         round(quantile_cont(value, 0.5), 6) AS c5, round(quantile_cont(value, 0.6), 6) AS c6,
+      |         round(quantile_cont(value, 0.7), 6) AS c7, round(quantile_cont(value, 0.8), 6) AS c8,
+      |         round(quantile_cont(value, 0.9), 6) AS c9
+      |  FROM events GROUP BY 1)
+      |SELECT event_type,
+      |       (CASE WHEN value > c1 THEN 1 ELSE 0 END + CASE WHEN value > c2 THEN 1 ELSE 0 END
+      |      + CASE WHEN value > c3 THEN 1 ELSE 0 END + CASE WHEN value > c4 THEN 1 ELSE 0 END
+      |      + CASE WHEN value > c5 THEN 1 ELSE 0 END + CASE WHEN value > c6 THEN 1 ELSE 0 END
+      |      + CASE WHEN value > c7 THEN 1 ELSE 0 END + CASE WHEN value > c8 THEN 1 ELSE 0 END
+      |      + CASE WHEN value > c9 THEN 1 ELSE 0 END) AS decile,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM events JOIN cuts ON event_type = ct
+      |GROUP BY 1, 2 ORDER BY event_type NULLS FIRST, decile NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val e = T.events(s, d).select(col("event_type"), col("value"))
+    val cutCols = (1 to 9).map(i =>
+      round(percentile(col("value"), lit(i / 10.0)), 6).as(s"c$i"))
+    val cuts = e.groupBy(col("event_type").as("ct"))
+      .agg(cutCols.head, cutCols.tail: _*)
+    val decile = (1 to 9).map(i => when(col("value") > col(s"c$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    e.join(broadcast(cuts), col("event_type") === col("ct"))
+      .select(col("event_type"), decile.as("decile"))
+      .groupBy(col("event_type"), col("decile"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type").asc_nulls_first, col("decile").asc_nulls_first)
+  }
+
   val all: Seq[Q] = Seq(rfmSegment, basketBrandPairs, giniSegment, benfordDigits,
-    tsRollingCorr, maxConcurrency, zipfSlope, transitionMatrix)
+    tsRollingCorr, maxConcurrency, zipfSlope, transitionMatrix,
+    funnelConversionTime, supplierHerfindahl, equiDepthHist)
 }

@@ -145,6 +145,66 @@ class SegmentOpsSpec extends SparkSpec {
     assert(got.toSeq == top)
   }
 
+  test("supplier_herfindahl matches the exact-cents share recompute, bounds hold") {
+    val rows = Tables.lineitem(spark, sf()).select(col("l_suppkey"), col("l_extendedprice"))
+      .join(Tables.supplier(spark, sf()).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(spark, sf()).select(col("n_nationkey"), col("n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("l_suppkey"), col("l_extendedprice"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val expected = rows.groupBy(_._1).map { case (nat, rs) =>
+      val cents = rs.groupBy(_._2).values.map(os =>
+        os.map(o => dec2(o._3)).reduce(_ add _)
+          .multiply(new JBD(100)).setScale(0).longValueExact).toSeq
+      val sq = cents.map(c => BigInt(c) * BigInt(c)).sum
+      val tot = cents.sum
+      nat -> ((cents.size.toLong,
+        round6(sq.toDouble / (tot.toDouble * tot.toDouble))))
+    }
+    val got = SegmentOps.supplierHerfindahl.fn(spark, sf()).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (nat, (n, hhi)) =>
+      assert(n == expected(nat)._1, s"$nat supplier count")
+      assert(math.abs(hhi - expected(nat)._2) < 2e-6, s"$nat hhi")
+      // HHI is bounded by (1/n, 1] — equality at 1 only for a monopoly
+      assert(hhi > 1.0 / n - 1e-9 && hhi <= 1.0, s"$nat hhi out of bounds: $hhi")
+    }
+  }
+
+  test("equi_depth_hist: near-uniform deciles, all rows accounted for") {
+    val got = SegmentOps.equiDepthHist.fn(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val byType = got.groupBy(_._1)
+    val totals = Tables.events(spark, sf()).groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byType.foreach { case (t, buckets) =>
+      assert(buckets.map(_._3).sum == totals(t), s"$t loses rows")
+      assert(buckets.map(_._2).distinct.size == buckets.size, s"$t duplicate decile")
+      // equi-DEPTH: every decile within 3x of the ideal n/10 (interpolated
+      // cutpoints on continuous data are near-uniform, not exact)
+      val ideal = totals(t) / 10.0
+      buckets.foreach { case (_, dec, n) =>
+        assert(n > ideal / 3 && n < ideal * 3, s"$t decile $dec count $n vs ideal $ideal")
+      }
+    }
+  }
+
+  test("funnel_conversion_time: delays positive, conversions bounded by viewers") {
+    val got = SegmentOps.funnelConversionTime.fn(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val nViewers = Tables.events(spark, sf())
+      .filter(col("event_type") === "view").select(col("user_id")).distinct().count()
+    assert(got.map(_._2).sum <= nViewers, "more conversions than viewers")
+    got.foreach { case (h, n, p50, p90) =>
+      assert(h >= 0 && h <= 23, s"bad hour $h")
+      assert(n > 0)
+      assert(p50 >= 0 && p90 >= p50, s"hour $h: p50=$p50 p90=$p90")
+    }
+  }
+
   test("ts_rolling_corr emits only full 60-minute frames, corr in [-1,1]") {
     val got = SegmentOps.tsRollingCorr.fn(spark, sf("sf0.01")).collect()
       .map(r => (r.getTimestamp(0), r.getDouble(1)))
