@@ -468,6 +468,60 @@ object NoOracle {
     graft.streaming.StreamOps.checkpointRestartCounts(T.events(s, d))
   }
 
+  /** B14: ORC lake round-trip — the reference's importer is format-
+    * agnostic at the warehouse boundary; this row proves the engine's
+    * second columnar format preserves content EXACTLY: orders written
+    * as zstd ORC and read back must carry the identical
+    * (n, null-discriminated xxhash64-XOR) audit pair as the parquet
+    * source, timestamps included. Per-invocation temp dir (the b5
+    * idempotency lesson).
+    */
+  val orcRoundtrip: Q = Q.noOracle("b14_orc_roundtrip") { (s, d) =>
+    val token = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft_b14_$token").toString
+    val src = T.orders(s, d)
+    val srcAudit = graft.ingest.LoadAudit.audit(src)
+    src.write.mode("overwrite").option("compression", "zstd").orc(s"$tmp/lake_orc")
+    val back = s.read.orc(s"$tmp/lake_orc")
+    val backAudit = graft.ingest.LoadAudit.audit(back)
+    import s.implicits._
+    Seq(
+      ("orders_source", srcAudit.nRows, srcAudit.checksum, true),
+      ("orders_orc_roundtrip", backAudit.nRows, backAudit.checksum,
+        backAudit == srcAudit))
+      .toDF("stage", "n_rows", "checksum", "verified")
+      .orderBy(col("stage").asc_nulls_first)
+  }
+
+  /** B15: compression-codec parity matrix — at 100 TB the codec choice
+    * is a real cost lever (zstd ≈ 30-40% smaller than snappy at
+    * similar scan speed) but NEVER a correctness lever: the same frame
+    * written as parquet under each available codec must read back with
+    * the identical audit pair. Emits measured bytes per codec so the
+    * size tradeoff is driver-visible; `verified` is the invariant.
+    */
+  val codecParity: Q = Q.noOracle("b15_codec_parity") { (s, d) =>
+    val token = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft_b15_$token")
+    val src = T.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val srcAudit = graft.ingest.LoadAudit.audit(src)
+    import s.implicits._
+    Seq("snappy", "zstd", "gzip", "lz4").map { codec =>
+      val dir = tmp.resolve(codec)
+      src.write.mode("overwrite").option("compression", codec)
+        .parquet(dir.toString)
+      val back = graft.ingest.LoadAudit.audit(s.read.parquet(dir.toString))
+      val bytes = scala.jdk.CollectionConverters
+        .IteratorHasAsScala(java.nio.file.Files.walk(dir).iterator()).asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(p => java.nio.file.Files.size(p)).sum
+      (codec, back.nRows, bytes, back == srcAudit)
+    }.toDF("codec", "n_rows", "bytes", "verified")
+      .orderBy(col("codec").asc_nulls_first)
+  }
+
   /** B9 surfaced to the driver: the flatMapGroupsWithState custom-state
     * transform run over the bounded events table (batch mode = one
     * "micro-batch", state starts empty per key — Spark's unified API
@@ -591,5 +645,5 @@ object NoOracle {
     schemaEvolution, bucketedJoin, partitionPruning, runtimeBloomFilter,
     udfSurface, multimodalFeatures, multimodalFrames, multimodalResize,
     streamStateBatchRun, streamTransformBatchRun, streamJoinBatchRun,
-    streamRestart, compaction)
+    streamRestart, orcRoundtrip, codecParity, compaction)
 }
