@@ -205,6 +205,45 @@ class SegmentOpsSpec extends SparkSpec {
     }
   }
 
+  test("graph_pagerank: mass accounts for dangling leak, floor respected, hub up") {
+    val dir = sf("sf0.01")  // dense enough that every nation trades
+    val got = graft.queries.GraphQ.graphPagerank.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.length == 25, "all 25 nations must appear")
+    val n = got.length
+    // which nations have out-edges (supply anything)?
+    val hasOut = Tables.lineitem(spark, dir).select(col("l_suppkey"))
+      .join(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name")).distinct().collect().map(_.getString(0)).toSet
+    val mass = got.map(_._2).sum
+    if (hasOut.size == n)
+      // no dangling nodes ⇒ PR is a probability distribution
+      assert(math.abs(mass - 1.0) < 1e-4, s"mass=$mass")
+    else
+      // simplified PR: dangling nodes leak their damped mass each round
+      assert(mass < 1.0 && mass > 0.15 - 1e-9, s"mass=$mass, dangling=${n - hasOut.size}")
+    got.foreach { case (nat, p) =>
+      assert(p >= 0.15 / n - 1e-9, s"$nat below teleport floor: $p")
+      assert(p < 1.0, s"$nat: $p")
+    }
+    // the nation with the largest weighted in-share must rank above uniform
+    val inw = Tables.lineitem(spark, dir).select(col("l_orderkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val topIn = inw.maxBy(_._2)._1
+    assert(got.toMap.apply(topIn) > 1.0 / n,
+      s"$topIn has the largest in-weight but below-uniform pagerank")
+  }
+
   test("ts_rolling_corr emits only full 60-minute frames, corr in [-1,1]") {
     val got = SegmentOps.tsRollingCorr.fn(spark, sf("sf0.01")).collect()
       .map(r => (r.getTimestamp(0), r.getDouble(1)))
