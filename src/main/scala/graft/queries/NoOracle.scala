@@ -493,6 +493,45 @@ object NoOracle {
       .orderBy(col("stage").asc_nulls_first)
   }
 
+  /** B16: corrupt-file quarantine on the scan path — at 100 TB a lake
+    * ALWAYS contains the occasional truncated/garbage file (killed
+    * writer, partial upload); the row pins both behaviors: the strict
+    * default FAILS the scan loudly (error class surfaced), and
+    * `spark.sql.files.ignoreCorruptFiles=true` completes the scan with
+    * exactly the valid rows — the B1 reject-quarantine philosophy at
+    * the file granularity. Explicit schema on both reads so the
+    * behavior measured is the scan's, not schema inference's. Conf is
+    * saved/restored (Verify runs 200+ sibling queries in-session).
+    */
+  val corruptScan: Q = Q.noOracle("b16_corrupt_scan") { (s, d) =>
+    val token = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft_b16_$token").toString
+    val src = T.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    val nValid = src.count()
+    src.write.mode("overwrite").parquet(s"$tmp/lake")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tmp/lake/part-corrupt-$token.parquet"),
+      "this is not a parquet file".getBytes("UTF-8"))
+    val schema = src.schema
+    val strictOutcome =
+      try { s.read.schema(schema).parquet(s"$tmp/lake").count(); "scan_succeeded" }
+      catch { case e: Throwable => e.getClass.getSimpleName }
+    val prev = s.conf.getOption("spark.sql.files.ignoreCorruptFiles")
+    s.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    val lenient =
+      try s.read.schema(schema).parquet(s"$tmp/lake").count()
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.files.ignoreCorruptFiles", v)
+        case None    => s.conf.unset("spark.sql.files.ignoreCorruptFiles")
+      }
+    import s.implicits._
+    Seq(
+      ("strict_default", 0L, strictOutcome, strictOutcome != "scan_succeeded"),
+      ("ignore_corrupt", lenient, "valid_rows_only", lenient == nValid))
+      .toDF("mode", "n_rows", "outcome", "as_declared")
+      .orderBy(col("mode").asc_nulls_first)
+  }
+
   /** B15: compression-codec parity matrix — at 100 TB the codec choice
     * is a real cost lever (zstd ≈ 30-40% smaller than snappy at
     * similar scan speed) but NEVER a correctness lever: the same frame
@@ -645,5 +684,5 @@ object NoOracle {
     schemaEvolution, bucketedJoin, partitionPruning, runtimeBloomFilter,
     udfSurface, multimodalFeatures, multimodalFrames, multimodalResize,
     streamStateBatchRun, streamTransformBatchRun, streamJoinBatchRun,
-    streamRestart, orcRoundtrip, codecParity, compaction)
+    streamRestart, orcRoundtrip, codecParity, corruptScan, compaction)
 }

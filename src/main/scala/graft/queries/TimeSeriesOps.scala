@@ -634,8 +634,55 @@ object TimeSeriesOps {
       .orderBy(col("event_type").asc_nulls_first, col("hour_ts"))
   }
 
+  /** Daily open-order backlog: each order opens at o_orderdate and
+    * closes when its last lineitem ships; the running sum of daily
+    * net (+opened − closed) is the backlog curve — the warehouse-ops
+    * "how far behind are we" series. All integer arithmetic; the
+    * running window orders the per-DAY net aggregate (cardinality =
+    * calendar span, time-bounded at any corpus volume — the
+    * ts_resample grid argument), never the order stream. The
+    * order-lifetime join is co-partitioned on the order key and
+    * partial-aggregable into the per-day nets.
+    */
+  val tsBacklog: Q = Q(
+    "ts_backlog",
+    """WITH life AS (
+      |  SELECT o_orderkey, CAST(min(o_orderdate) AS DATE) AS d0,
+      |         CAST(max(l_shipdate) AS DATE) AS d1
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY 1),
+      |pts AS (
+      |  SELECT d0 AS day, 1 AS delta FROM life
+      |  UNION ALL
+      |  SELECT d1 AS day, -1 AS delta FROM life),
+      |daily AS (
+      |  SELECT day, CAST(sum(delta) AS BIGINT) AS net FROM pts GROUP BY 1)
+      |SELECT day,
+      |       CAST(sum(net) OVER (ORDER BY day
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         AS open_orders
+      |FROM daily ORDER BY day NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val life = T.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+      .join(T.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(to_date(min(col("o_orderdate"))).as("d0"),
+        to_date(max(col("l_shipdate"))).as("d1"))
+    val pts = life.select(col("d0").as("day"), lit(1).as("delta"))
+      .unionByName(life.select(col("d1").as("day"), lit(-1).as("delta")))
+    val daily = pts.groupBy(col("day")).agg(sum(col("delta")).cast("long").as("net"))
+    daily
+      .withColumn("open_orders",
+        sum(col("net")).over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .select(col("day"), col("open_orders"))
+      .orderBy(col("day").asc_nulls_first)
+  }
+
   val all: Seq[Q] =
     Seq(tsGapfillLocf, tsOhlc, scd2Intervals, tsResampleInterp, tsAnomalyZscore,
       scd2AsofLookup, tsAnomalyMad, tsRolling1h, tsSeasonalHour, tsEma,
-      tsCounterRate)
+      tsCounterRate, tsBacklog)
 }
