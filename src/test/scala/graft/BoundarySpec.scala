@@ -155,4 +155,85 @@ class BoundarySpec extends SparkSpec {
     assert(got.length === 2 && got.forall(_._2 == 1L),
       s"hour-boundary event must open its own bucket: ${got.toSeq}")
   }
+
+  private val M5 = 300000000000L // 5 minutes in nanos
+
+  test("max_concurrency: an interval opening EXACTLY at another's close is NOT concurrent") {
+    // half-open [t, t+5m): the close at t+5m sorts before the open at
+    // t+5m (delta −1 < +1), so back-to-back intervals never overlap
+    val d = eventsDir(Seq(
+      (1L, 0L, 1L, "cpu", 0.0),
+      (2L, M5, 1L, "cpu", 0.0),          // opens exactly at e1's close → peak stays 1
+      (3L, 2 * M5 - 1000L, 1L, "cpu", 0.0))) // 1 µs before e2's close → peak 2
+    val got = graft.queries.SegmentOps.maxConcurrency.fn(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("cpu" -> 2L),
+      s"back-to-back must not count as concurrent, 1 µs overlap must: $got")
+  }
+
+  test("equi_depth_hist: a value EXACTLY on a cutpoint lands in the LOWER bucket") {
+    // values 0..10: quantile_cont(i/10) over 11 points is exactly i, so
+    // every cutpoint coincides with a data value — the strict `>` puts
+    // each boundary value in the bucket BELOW its cut
+    val d = eventsDir((0 to 10).map(i => (i.toLong + 1, i * H, 1L, "cpu", i.toDouble)))
+    val got = graft.queries.SegmentOps.equiDepthHist.fn(spark, d).collect()
+      .map(r => r.getInt(1) -> r.getLong(2)).toMap
+    val expected = (0 to 10).map(v => (1 to 9).count(c => v > c))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got === expected, s"got $got expected $expected")
+    assert(got(0) == 2L, "0 and 1 both sit at-or-below the first cut")
+  }
+
+  test("transition_matrix: same-microsecond events order by event_id") {
+    val d = eventsDir(Seq(
+      (1L, 0L, 9L, "view", 0.0),
+      (2L, 0L, 9L, "click", 0.0),    // same µs as e1 → ordered by event_id
+      (3L, H, 9L, "purchase", 0.0)))
+    val got = graft.queries.SegmentOps.transitionMatrix.fn(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("view", "click") -> 1L, ("click", "purchase") -> 1L),
+      s"tie must break by event_id: $got")
+  }
+
+  /** Crafted orders table (only the columns the queries project). */
+  private def ordersDir(rows: Seq[(Long, Long, Double, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_boundary_ord").toString
+    rows.toDF("o_orderkey", "o_custkey", "o_totalprice", "o_date_str")
+      .withColumn("o_orderdate", to_timestamp($"o_date_str"))
+      .drop("o_date_str")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  test("rfm_segment: ALL-tied customers collapse into one cell (strict >, not ntile)") {
+    // four identical customers: every quintile cutpoint equals the
+    // metric, strict > scores all of them (r,f,m) = (5,1,1) — ntile
+    // would arbitrarily split the tie 1/2/3/4 across buckets
+    val d = ordersDir(Seq(
+      (1L, 101L, 100.0, "2024-01-01 00:00:00"),
+      (2L, 102L, 100.0, "2024-01-01 00:00:00"),
+      (3L, 103L, 100.0, "2024-01-01 00:00:00"),
+      (4L, 104L, 100.0, "2024-01-01 00:00:00")))
+    val got = graft.queries.SegmentOps.rfmSegment.fn(spark, d).collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getLong(3)))
+    assert(got.toSeq === Seq(((5, 1, 1), 4L)),
+      s"tied metrics must land in ONE cell: ${got.toSeq}")
+  }
+
+  test("ts_backlog: an order shipping the day it was placed nets to zero") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_boundary_bl").toString
+    Seq((1L, 50L, 10.0, "2024-01-03 10:00:00"))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "s")
+      .withColumn("o_orderdate", to_timestamp($"s")).drop("s")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    Seq((1L, "2024-01-03 18:00:00"), (1L, "2024-01-05 09:00:00"))
+      .toDF("l_orderkey", "s")
+      .withColumn("l_shipdate", to_timestamp($"s")).drop("s")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    // lifetime = Jan 3 → Jan 5 (LAST shipment closes the order)
+    val got = graft.queries.TimeSeriesOps.tsBacklog.fn(spark, dir).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1))
+    assert(got.toSeq === Seq("2024-01-03" -> 1L, "2024-01-05" -> 0L),
+      s"open on placement day, closed by the LAST shipment: ${got.toSeq}")
+  }
 }
