@@ -375,7 +375,68 @@ object LlmOpsExt {
       .orderBy(col("a").asc_nulls_first, col("b").asc_nulls_first)
   }
 
+  /** Containment dedup — the asymmetric companion to
+    * dedup_ngram_jaccard: C(a→b) = |sh(a) ∩ sh(b)| / |sh(a)| flags a
+    * document EMBEDDED in a larger one (quote farms, concatenated
+    * crawls), which symmetric Jaccard under-scores precisely when the
+    * size ratio is extreme. Same 3-gram shingle conventions and the
+    * same distinct-shingle equi-join candidate generation (C ≥ 0.8 ⇒ a
+    * shared shingle ⇒ recall 1, df-prunable at 100 TB); the ONLY
+    * differences are the direction-preserving a ≠ b join and the
+    * single-size denominator. Both (a⊂b) and (b⊂a) emit independently.
+    */
+  val dedupContainment: Q = Q(
+    "dedup_containment",
+    """WITH tk AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) AS s
+      |  FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |             generate_series(1, greatest(len(t) - 2, 0)),
+      |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |    FROM tk
+      |  )
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS ca, b.doc_id AS cb, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT ca AS contained_id, cb AS container_id,
+      |       round(CAST(i AS DOUBLE) / sa.n, 6) AS containment,
+      |       CAST(sa.n AS BIGINT) AS n_shingles
+      |FROM inter JOIN sizes sa ON ca = sa.doc_id
+      |WHERE CAST(i AS DOUBLE) / sa.n >= 0.8
+      |ORDER BY contained_id NULLS FIRST, container_id NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val tk = T.documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+    val sh = tk.select(col("doc_id"),
+      explode(expr(
+        """transform(slice(sequence(1, greatest(size(t) - 2, 1)), 1, greatest(size(t) - 2, 0)),
+           i -> concat_ws(' ', element_at(t, i), element_at(t, i+1), element_at(t, i+2)))"""
+      )).as("sStr"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(sStr), 1, 15), 16, 10) AS BIGINT)").as("s"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") =!= col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("ca"), col("y.doc_id").as("cb"))
+      .agg(count(lit(1)).as("i"))
+    val c = col("i").cast("double") / col("sa.n")
+    inter
+      .join(sizes.as("sa"), col("ca") === col("sa.doc_id"))
+      .filter(c >= 0.8)
+      .select(col("ca").as("contained_id"), col("cb").as("container_id"),
+        round(c, 6).as("containment"), col("sa.n").cast("long").as("n_shingles"))
+      .orderBy(col("contained_id").asc_nulls_first, col("container_id").asc_nulls_first)
+  }
+
   val all: Seq[Q] = Seq(
     dedupNgramJaccard, dedupEmbedding, textLangid, textQuality,
-    textTokens, textFingerprint, dedupFuzzyLevenshtein)
+    textTokens, textFingerprint, dedupFuzzyLevenshtein, dedupContainment)
 }

@@ -220,6 +220,21 @@ class BoundarySpec extends SparkSpec {
       s"tied metrics must land in ONE cell: ${got.toSeq}")
   }
 
+  test("dedup_containment is directional: substring doc flags, container does not") {
+    val contained = "alpha beta gamma delta epsilon zeta eta theta"       // 8 tokens
+    val container = contained + " iota kappa lambda mu"                    // 12 tokens
+    val d = documentsDir(Seq(
+      (1L, contained, "en", "s"),
+      (2L, container, "en", "s"),
+      (3L, "totally different words with no shared shingles at all", "en", "s")))
+    val got = graft.queries.LlmOpsExt.dedupContainment.fn(spark, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getLong(3))))
+    // A's 6 shingles all appear in B (C=1.0); B→A is 6/10 = 0.6 < 0.8;
+    // doc 3 shares nothing
+    assert(got.toSeq === Seq(((1L, 2L), (1.0, 6L))),
+      s"only the contained→container direction may flag: ${got.toSeq}")
+  }
+
   test("ts_backlog: an order shipping the day it was placed nets to zero") {
     val dir = java.nio.file.Files.createTempDirectory("graft_boundary_bl").toString
     Seq((1L, 50L, 10.0, "2024-01-03 10:00:00"))
