@@ -493,6 +493,56 @@ object NoOracle {
       .orderBy(col("stage").asc_nulls_first)
   }
 
+  /** B17: dynamic partition overwrite — the daily-reload pattern every
+    * warehouse importer runs: rewriting ONE hive partition of a lake
+    * must replace exactly that partition and leave every other
+    * partition byte-identical. With the default STATIC overwrite mode
+    * the same write would truncate the whole table — the
+    * silent-data-loss foot-gun this row exists to pin. Per-partition
+    * (n, null-discriminated xxhash64-XOR) audit pairs are computed in
+    * ONE grouped pass before and after; `as_declared` asserts the
+    * rewritten partition changed and the rest did not. Conf
+    * saved/restored; per-invocation temp dirs.
+    */
+  val partitionOverwrite: Q = Q.noOracle("b17_partition_overwrite") { (s, d) =>
+    val token = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val lake = java.nio.file.Files
+      .createTempDirectory(s"graft_b17_$token").toString + "/lake"
+    val src = T.events(s, d).select(col("event_id"), col("event_type"), col("value"))
+    def perPartAudit(df: org.apache.spark.sql.DataFrame) = {
+      val cols = df.columns.sorted.filter(_ != "event_type")
+        .map(c => struct(col(c).isNull, col(c))).toIndexedSeq
+      df.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(bit_xor(xxhash64(cols: _*)), lit(0L)).as("cs"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    }
+    src.write.mode("overwrite").partitionBy("event_type").parquet(lake)
+    // explicit schema: an all-empty corpus writes a partitionless lake
+    // that schema inference cannot read (the EmptyCorpusSpec gate)
+    def readLake() = s.read.schema(src.schema).parquet(lake)
+    val before = perPartAudit(readLake())
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // reload ONE partition with transformed content
+      src.filter(col("event_type") === "click")
+        .withColumn("value", col("value") * 2)
+        .write.mode("overwrite").partitionBy("event_type").parquet(lake)
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val after = perPartAudit(readLake())
+    import s.implicits._
+    before.keys.toSeq.sorted.map { t =>
+      val changed = before(t) != after.getOrElse(t, (0L, 0L))
+      (t, before(t)._1, after.getOrElse(t, (0L, 0L))._1,
+        changed, changed == (t == "click"))
+    }.toDF("event_type", "n_before", "n_after", "changed", "as_declared")
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
   /** B16: corrupt-file quarantine on the scan path — at 100 TB a lake
     * ALWAYS contains the occasional truncated/garbage file (killed
     * writer, partial upload); the row pins both behaviors: the strict
@@ -684,5 +734,6 @@ object NoOracle {
     schemaEvolution, bucketedJoin, partitionPruning, runtimeBloomFilter,
     udfSurface, multimodalFeatures, multimodalFrames, multimodalResize,
     streamStateBatchRun, streamTransformBatchRun, streamJoinBatchRun,
-    streamRestart, orcRoundtrip, codecParity, corruptScan, compaction)
+    streamRestart, orcRoundtrip, codecParity, corruptScan, partitionOverwrite,
+    compaction)
 }
