@@ -93,5 +93,55 @@ object AggregatesExt {
       .orderBy(col("bucket").asc_nulls_first)
   }
 
-  val all: Seq[Q] = Seq(aggCorr, aggPercentile, fnStringagg, aggHistogram)
+  /** Quantity-weighted lower median of the line price per return flag —
+    * the weighted-percentile shape (median price per UNIT, not per
+    * line) that plain percentile cannot express. Semantics: the
+    * smallest price whose cumulative quantity reaches half the total.
+    * Everything is exact: prices are DECIMAL(18,2), weights integer
+    * quantities, and the default RANGE window frame (ORDER BY price,
+    * ties included up to CURRENT ROW) makes the cumulative sum
+    * independent of intra-tie row order on BOTH engines — no rounding
+    * anywhere, one final decimal→double cast. The per-flag window is
+    * the grouped-percentile sort cost (bounded flag cardinality, the
+    * gini_segment caveat).
+    */
+  val aggWeightedMedian: Q = Q(
+    "agg_weighted_median",
+    """WITH w AS (
+      |  SELECT l_returnflag AS flag,
+      |         CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+      |         CAST(l_quantity AS BIGINT) AS qty
+      |  FROM lineitem),
+      |c AS (
+      |  SELECT flag, price, qty,
+      |         CAST(sum(qty) OVER (PARTITION BY flag ORDER BY price) AS BIGINT) AS cum,
+      |         CAST(sum(qty) OVER (PARTITION BY flag) AS BIGINT) AS tot
+      |  FROM w)
+      |SELECT flag, CAST(min(price) AS DOUBLE) AS weighted_median,
+      |       CAST(min(tot) AS BIGINT) AS total_qty
+      |FROM c WHERE 2 * cum >= tot
+      |GROUP BY flag ORDER BY flag NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = T.lineitem(s, d).select(
+      col("l_returnflag").as("flag"),
+      T.dec2(col("l_extendedprice")).as("price"),
+      col("l_quantity").cast("long").as("qty"))
+    // default frame with ORDER BY is RANGE UNBOUNDED PRECEDING..CURRENT
+    // ROW on both engines: price ties accumulate together, so `cum` is
+    // intra-tie-order independent
+    val c = w
+      .withColumn("cum", sum(col("qty")).over(
+        Window.partitionBy(col("flag")).orderBy(col("price"))).cast("long"))
+      .withColumn("tot", sum(col("qty")).over(
+        Window.partitionBy(col("flag"))).cast("long"))
+    c.filter(lit(2) * col("cum") >= col("tot"))
+      .groupBy(col("flag"))
+      .agg(min(col("price")).cast("double").as("weighted_median"),
+        min(col("tot")).cast("long").as("total_qty"))
+      .orderBy(col("flag").asc_nulls_first)
+  }
+
+  val all: Seq[Q] =
+    Seq(aggCorr, aggPercentile, fnStringagg, aggHistogram, aggWeightedMedian)
 }

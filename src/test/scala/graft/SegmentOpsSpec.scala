@@ -244,6 +244,22 @@ class SegmentOpsSpec extends SparkSpec {
       s"$topIn has the largest in-weight but below-uniform pagerank")
   }
 
+  test("agg_weighted_median matches a driver-side cumulative-weight replay") {
+    val rows = Tables.lineitem(spark, sf())
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      .collect().map(r => (r.getString(0), dec2(r.getDouble(1)), r.getDouble(2).toLong))
+    val expected = rows.groupBy(_._1).map { case (flag, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val tot = sorted.map(_._3).sum
+      var cum = 0L
+      val med = sorted.find { r => cum += r._3; 2 * cum >= tot }.get._2
+      flag -> ((med.doubleValue, tot))
+    }
+    val got = graft.queries.AggregatesExt.aggWeightedMedian.fn(spark, sf()).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got == expected)
+  }
+
   test("ts_rolling_corr emits only full 60-minute frames, corr in [-1,1]") {
     val got = SegmentOps.tsRollingCorr.fn(spark, sf("sf0.01")).collect()
       .map(r => (r.getTimestamp(0), r.getDouble(1)))
