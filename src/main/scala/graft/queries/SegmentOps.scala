@@ -522,7 +522,91 @@ object SegmentOps {
       .orderBy(col("event_type").asc_nulls_first, col("decile").asc_nulls_first)
   }
 
+  /** Month-over-month revenue growth per nation — the BI staple.
+    * Monthly revenue is exact integer cents; growth is (cents − prev)
+    * / prev — exact subtraction, ONE IEEE division, round 6; the first
+    * month per nation is NULL on both engines. The lag window runs
+    * over the |nations|×|months| aggregate (bounded by calendar ×
+    * data model, never corpus volume); everything upstream is
+    * partial-aggregable.
+    */
+  val tsMomGrowth: Q = Q(
+    "ts_mom_growth",
+    """WITH m AS (
+      |  SELECT n_name, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |lagd AS (
+      |  SELECT n_name, mon, cents,
+      |         lag(cents) OVER (PARTITION BY n_name ORDER BY mon) AS prev
+      |  FROM m)
+      |SELECT n_name, mon, CAST(cents AS DOUBLE) / 100 AS revenue,
+      |       round(CAST(cents - prev AS DOUBLE) / prev, 6) AS mom_growth
+      |FROM lagd ORDER BY n_name NULLS FIRST, mon NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val m = T.orders(s, d).select(col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+      .join(T.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), date_trunc("month", col("o_orderdate")).as("mon"))
+      .agg((sum(T.dec2(col("o_totalprice"))) * 100).cast("long").as("cents"))
+    m.withColumn("prev", lag(col("cents"), 1).over(
+        Window.partitionBy(col("n_name")).orderBy(col("mon"))))
+      .select(col("n_name"), col("mon"),
+        (col("cents").cast("double") / 100).as("revenue"),
+        round((col("cents") - col("prev")).cast("double") / col("prev"), 6)
+          .as("mom_growth"))
+      .orderBy(col("n_name").asc_nulls_first, col("mon").asc_nulls_first)
+  }
+
+  /** Monthly stickiness (mean-DAU / MAU): how much of the monthly
+    * audience shows up on an average day. The ratio is computed as
+    * sum_dau / (n_days · mau) — all exact integers into ONE IEEE
+    * division, round 6 — instead of avg(dau)/mau, which would stack
+    * two divisions. The distinct (user, day) set is one shuffle; both
+    * rollups are partial-aggregable; the month frame is
+    * calendar-bounded.
+    */
+  val cohortStickiness: Q = Q(
+    "cohort_stickiness",
+    """WITH d AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |dau AS (
+      |  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM d GROUP BY 1),
+      |byday AS (
+      |  SELECT CAST(date_trunc('month', day) AS DATE) AS mon,
+      |         CAST(sum(dau) AS BIGINT) AS sum_dau,
+      |         CAST(count(*) AS BIGINT) AS n_days
+      |  FROM dau GROUP BY 1),
+      |mau AS (
+      |  SELECT CAST(date_trunc('month', day) AS DATE) AS mon,
+      |         CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+      |  FROM d GROUP BY 1)
+      |SELECT mon, mau, sum_dau, n_days,
+      |       round(CAST(sum_dau AS DOUBLE) / (n_days * mau), 6) AS stickiness
+      |FROM byday JOIN mau USING (mon)
+      |ORDER BY mon NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val dd = T.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val dau = dd.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val byday = dau.groupBy(trunc(col("day"), "month").as("mon"))
+      .agg(sum(col("dau")).cast("long").as("sum_dau"),
+        count(lit(1)).as("n_days"))
+    val mau = dd.groupBy(trunc(col("day"), "month").as("mon2"))
+      .agg(countDistinct(col("user_id")).as("mau"))
+    byday.join(mau, col("mon") === col("mon2"))
+      .select(col("mon"), col("mau"), col("sum_dau"), col("n_days"),
+        round(col("sum_dau").cast("double") / (col("n_days") * col("mau")), 6)
+          .as("stickiness"))
+      .orderBy(col("mon").asc_nulls_first)
+  }
+
   val all: Seq[Q] = Seq(rfmSegment, basketBrandPairs, giniSegment, benfordDigits,
     tsRollingCorr, maxConcurrency, zipfSlope, transitionMatrix,
-    funnelConversionTime, supplierHerfindahl, equiDepthHist)
+    funnelConversionTime, supplierHerfindahl, equiDepthHist,
+    tsMomGrowth, cohortStickiness)
 }

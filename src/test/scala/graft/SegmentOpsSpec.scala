@@ -244,6 +244,36 @@ class SegmentOpsSpec extends SparkSpec {
       s"$topIn has the largest in-weight but below-uniform pagerank")
   }
 
+  test("ts_mom_growth: first month per nation is NULL, growth recomputes from revenue") {
+    val got = graft.queries.SegmentOps.tsMomGrowth.fn(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1),
+        r.getDouble(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    val byNation = got.groupBy(_._1)
+    byNation.foreach { case (nat, rows) =>
+      val seq = rows.sortBy(_._2.getTime)
+      assert(seq.head._4.isEmpty, s"$nat first month must have NULL growth")
+      seq.sliding(2).foreach {
+        case Array(a, b) =>
+          val expect = round6((b._3 - a._3) / a._3)
+          assert(b._4.isDefined && math.abs(b._4.get - expect) < 2e-6,
+            s"$nat ${b._2}: ${b._4} vs $expect")
+        case _ =>
+      }
+    }
+  }
+
+  test("cohort_stickiness: ratio in (1/days, 1], integers conserve") {
+    val got = graft.queries.SegmentOps.cohortStickiness.fn(spark, sf()).collect()
+      .map(r => (r.getDate(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (mon, mau, sumDau, nDays, st) =>
+      assert(st > 0 && st <= 1.0 + 1e-9, s"$mon stickiness out of range: $st")
+      // every monthly-active user contributes ≥1 active day
+      assert(sumDau >= mau, s"$mon: sum_dau $sumDau < mau $mau")
+      assert(math.abs(st - round6(sumDau.toDouble / (nDays * mau))) < 1e-9)
+    }
+  }
+
   test("agg_weighted_median matches a driver-side cumulative-weight replay") {
     val rows = Tables.lineitem(spark, sf())
       .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
