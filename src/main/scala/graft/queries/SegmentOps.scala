@@ -605,8 +605,71 @@ object SegmentOps {
       .orderBy(col("mon").asc_nulls_first)
   }
 
+  /** Inter-arrival-time percentiles per event type: the gap from each
+    * event to the SAME USER's previous event (any type), attributed to
+    * the later event's type — the queueing/ops view of user cadence.
+    * Gaps are exact integer µs divided ONCE to seconds (the
+    * funnel_conversion_time magnitude lesson: percentiles at raw-µs
+    * scale are not decimal-roundable), percentiles rounded 4 dp. The
+    * lag window partitions by user_id — high cardinality, fully
+    * parallel; the rollup groups by the bounded type set.
+    */
+  val windowInterarrival: Q = Q(
+    "window_interarrival",
+    """WITH g AS (
+      |  SELECT event_type,
+      |         CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |           PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |           AS DOUBLE) / 1000000 AS gap_s
+      |  FROM events)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+      |       round(quantile_cont(gap_s, 0.5), 4) AS p50_gap_s,
+      |       round(quantile_cont(gap_s, 0.9), 4) AS p90_gap_s
+      |FROM g WHERE gap_s IS NOT NULL
+      |GROUP BY 1 ORDER BY event_type NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val e = T.events(s, d)
+      .select(col("event_type"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us").asc, col("event_id").asc)
+    e.withColumn("gap_s",
+        (col("us") - lag(col("us"), 1).over(w)).cast("double") / 1000000)
+      .filter(col("gap_s").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(percentile(col("gap_s"), lit(0.5)), 4).as("p50_gap_s"),
+        round(percentile(col("gap_s"), lit(0.9)), 4).as("p90_gap_s"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
+  /** Exact-duplicate family-size histogram: how much of the corpus is
+    * duplicated and in what cluster shapes — the one-glance dedup
+    * health metric (family_size 1 = unique docs; n_docs column shows
+    * where the volume sits). Families key on md5(text) so the first
+    * shuffle moves 16-byte digests, never document bodies; both
+    * levels are partial-aggregable counts.
+    */
+  val dedupFamilyHist: Q = Q(
+    "dedup_family_hist",
+    """WITH fam AS (
+      |  SELECT md5(text) AS key, CAST(count(*) AS BIGINT) AS family_size
+      |  FROM documents GROUP BY 1)
+      |SELECT family_size, CAST(count(*) AS BIGINT) AS n_families,
+      |       CAST(family_size * count(*) AS BIGINT) AS n_docs
+      |FROM fam GROUP BY 1 ORDER BY family_size NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    T.documents(s, d)
+      .groupBy(md5(col("text")).as("key"))
+      .agg(count(lit(1)).as("family_size"))
+      .groupBy(col("family_size"))
+      .agg(count(lit(1)).as("n_families"))
+      .select(col("family_size"), col("n_families"),
+        (col("family_size") * col("n_families")).as("n_docs"))
+      .orderBy(col("family_size").asc_nulls_first)
+  }
+
   val all: Seq[Q] = Seq(rfmSegment, basketBrandPairs, giniSegment, benfordDigits,
     tsRollingCorr, maxConcurrency, zipfSlope, transitionMatrix,
     funnelConversionTime, supplierHerfindahl, equiDepthHist,
-    tsMomGrowth, cohortStickiness)
+    tsMomGrowth, cohortStickiness, windowInterarrival, dedupFamilyHist)
 }

@@ -274,6 +274,26 @@ class SegmentOpsSpec extends SparkSpec {
     }
   }
 
+  test("window_interarrival: gap count conserves (events minus first-per-user)") {
+    val got = graft.queries.SegmentOps.windowInterarrival.fn(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val nEvents = Tables.events(spark, sf()).count()
+    val nUsers = Tables.events(spark, sf()).select(col("user_id")).distinct().count()
+    assert(got.map(_._2).sum == nEvents - nUsers,
+      s"every event except each user's first contributes exactly one gap")
+    got.foreach { case (t, n, p50, p90) =>
+      assert(n > 0 && p50 >= 0 && p90 >= p50, s"$t: n=$n p50=$p50 p90=$p90")
+    }
+  }
+
+  test("dedup_family_hist: document count conserves across family sizes") {
+    val got = graft.queries.SegmentOps.dedupFamilyHist.fn(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = Tables.documents(spark, sf()).count()
+    assert(got.map(_._3).sum == nDocs, "sum of n_docs must equal the corpus")
+    got.foreach { case (size, nFam, nD) => assert(nD == size * nFam) }
+  }
+
   test("agg_weighted_median matches a driver-side cumulative-weight replay") {
     val rows = Tables.lineitem(spark, sf())
       .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
