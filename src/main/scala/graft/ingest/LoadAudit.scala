@@ -44,4 +44,19 @@ object LoadAudit {
   /** True iff `landed` holds exactly the content of `source`. */
   def verified(source: DataFrame, landed: DataFrame): Boolean =
     audit(source) == audit(landed)
+
+  /** Per-group audit pairs in ONE grouped pass — the partition-level
+    * variant (B17's per-partition reload verification): the key column
+    * is excluded from the hash so a row's audit is invariant to which
+    * partition directory it lands in.
+    */
+  def auditBy(df: DataFrame, key: String): Map[String, Audit] = {
+    val cols = df.columns.sorted.filter(_ != key)
+      .map(c => struct(col(c).isNull, col(c))).toIndexedSeq
+    df.groupBy(col(key))
+      .agg(count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64(cols: _*)), lit(0L)).as("cs"))
+      .collect().map(r => r.getString(0) -> Audit(r.getLong(1), r.getLong(2)))
+      .toMap
+  }
 }

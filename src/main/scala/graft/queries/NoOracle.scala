@@ -509,14 +509,8 @@ object NoOracle {
     val lake = java.nio.file.Files
       .createTempDirectory(s"graft_b17_$token").toString + "/lake"
     val src = T.events(s, d).select(col("event_id"), col("event_type"), col("value"))
-    def perPartAudit(df: org.apache.spark.sql.DataFrame) = {
-      val cols = df.columns.sorted.filter(_ != "event_type")
-        .map(c => struct(col(c).isNull, col(c))).toIndexedSeq
-      df.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          coalesce(bit_xor(xxhash64(cols: _*)), lit(0L)).as("cs"))
-        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    }
+    def perPartAudit(df: org.apache.spark.sql.DataFrame) =
+      graft.ingest.LoadAudit.auditBy(df, "event_type")
     src.write.mode("overwrite").partitionBy("event_type").parquet(lake)
     // explicit schema: an all-empty corpus writes a partitionless lake
     // that schema inference cannot read (the EmptyCorpusSpec gate)
@@ -535,9 +529,10 @@ object NoOracle {
     }
     val after = perPartAudit(readLake())
     import s.implicits._
+    val none = graft.ingest.LoadAudit.Audit(0L, 0L)
     before.keys.toSeq.sorted.map { t =>
-      val changed = before(t) != after.getOrElse(t, (0L, 0L))
-      (t, before(t)._1, after.getOrElse(t, (0L, 0L))._1,
+      val changed = before(t) != after.getOrElse(t, none)
+      (t, before(t).nRows, after.getOrElse(t, none).nRows,
         changed, changed == (t == "click"))
     }.toDF("event_type", "n_before", "n_after", "changed", "as_declared")
       .orderBy(col("event_type").asc_nulls_first)

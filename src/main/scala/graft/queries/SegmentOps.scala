@@ -67,11 +67,15 @@ object SegmentOps {
       |FROM scored GROUP BY 1, 2, 3
       |ORDER BY r_score NULLS FIRST, f_score NULLS FIRST, m_score NULLS FIRST""".stripMargin
   ) { (s, d) =>
+    // localCheckpoint: cust feeds anchor, the cutpoint aggregate AND the
+    // scoring pass — without it Catalyst re-derives the orders scan +
+    // groupBy four times (measured: 8 scan nodes in the plan)
     val cust = T.orders(s, d)
       .groupBy(col("o_custkey"))
       .agg(to_date(max(col("o_orderdate"))).as("last_day"),
         count(lit(1)).as("freq"),
         (sum(T.dec2(col("o_totalprice"))) * 100).cast("long").as("cents"))
+      .localCheckpoint()
     val anchor = cust.agg(max(col("last_day")).as("a"))
     val cust2 = cust.crossJoin(broadcast(anchor))
       .select(col("o_custkey"), datediff(col("a"), col("last_day")).as("rec"),
@@ -295,11 +299,15 @@ object SegmentOps {
       |       CAST(count(*) FILTER (WHERE delta = 1) AS BIGINT) AS n_intervals
       |FROM sw GROUP BY 1 ORDER BY event_type NULLS FIRST""".stripMargin
   ) { (s, d) =>
-    val e = T.events(s, d)
+    // one scan: each event explodes into its (open, close) endpoint
+    // pair map-side — the UNION ALL form reads the table twice
+    val pts = T.events(s, d)
       .select(col("event_type"), unix_micros(col("ts")).as("t"), col("event_id"))
-    val pts = e.select(col("event_type"), col("t"), lit(1).as("delta"), col("event_id"))
-      .unionByName(e.select(col("event_type"), (col("t") + 300000000L).as("t"),
-        lit(-1).as("delta"), col("event_id")))
+      .select(col("event_type"), col("event_id"), explode(array(
+        struct(col("t"), lit(1).as("delta")),
+        struct((col("t") + 300000000L).as("t"), lit(-1).as("delta")))).as("p"))
+      .select(col("event_type"), col("p.t").as("t"), col("p.delta").as("delta"),
+        col("event_id"))
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("t").asc, col("delta").asc, col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -573,32 +581,26 @@ object SegmentOps {
   val cohortStickiness: Q = Q(
     "cohort_stickiness",
     """WITH d AS (
-      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
-      |dau AS (
-      |  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM d GROUP BY 1),
-      |byday AS (
-      |  SELECT CAST(date_trunc('month', day) AS DATE) AS mon,
-      |         CAST(sum(dau) AS BIGINT) AS sum_dau,
-      |         CAST(count(*) AS BIGINT) AS n_days
-      |  FROM dau GROUP BY 1),
-      |mau AS (
-      |  SELECT CAST(date_trunc('month', day) AS DATE) AS mon,
-      |         CAST(count(DISTINCT user_id) AS BIGINT) AS mau
-      |  FROM d GROUP BY 1)
-      |SELECT mon, mau, sum_dau, n_days,
-      |       round(CAST(sum_dau AS DOUBLE) / (n_days * mau), 6) AS stickiness
-      |FROM byday JOIN mau USING (mon)
-      |ORDER BY mon NULLS FIRST""".stripMargin
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+      |SELECT CAST(date_trunc('month', day) AS DATE) AS mon,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS mau,
+      |       CAST(count(*) AS BIGINT) AS sum_dau,
+      |       CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+      |       round(CAST(count(*) AS DOUBLE)
+      |             / (count(DISTINCT day) * count(DISTINCT user_id)), 6)
+      |         AS stickiness
+      |FROM d GROUP BY 1 ORDER BY mon NULLS FIRST""".stripMargin
   ) { (s, d) =>
-    val dd = T.events(s, d)
+    // each distinct (user, day) row contributes exactly 1 to its day's
+    // DAU, so Σdau per month IS the row count — one pass over the
+    // distinct set (two count-distincts share the expand), instead of
+    // recomputing the distinct shuffle for separate dau/mau rollups
+    T.events(s, d)
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-    val dau = dd.groupBy(col("day")).agg(count(lit(1)).as("dau"))
-    val byday = dau.groupBy(trunc(col("day"), "month").as("mon"))
-      .agg(sum(col("dau")).cast("long").as("sum_dau"),
-        count(lit(1)).as("n_days"))
-    val mau = dd.groupBy(trunc(col("day"), "month").as("mon2"))
-      .agg(countDistinct(col("user_id")).as("mau"))
-    byday.join(mau, col("mon") === col("mon2"))
+      .groupBy(trunc(col("day"), "month").as("mon"))
+      .agg(countDistinct(col("user_id")).as("mau"),
+        count(lit(1)).as("sum_dau"),
+        countDistinct(col("day")).as("n_days"))
       .select(col("mon"), col("mau"), col("sum_dau"), col("n_days"),
         round(col("sum_dau").cast("double") / (col("n_days") * col("mau")), 6)
           .as("stickiness"))

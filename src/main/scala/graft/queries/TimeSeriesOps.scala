@@ -670,8 +670,13 @@ object TimeSeriesOps {
       .groupBy(col("o_orderkey"))
       .agg(to_date(min(col("o_orderdate"))).as("d0"),
         to_date(max(col("l_shipdate"))).as("d1"))
-    val pts = life.select(col("d0").as("day"), lit(1).as("delta"))
-      .unionByName(life.select(col("d1").as("day"), lit(-1).as("delta")))
+    // one pass: each lifetime explodes into its (open, close) endpoint
+    // pair map-side — the UNION ALL form re-runs the orders⋈lineitem
+    // join for each endpoint side
+    val pts = life.select(explode(array(
+        struct(col("d0").as("day"), lit(1).as("delta")),
+        struct(col("d1").as("day"), lit(-1).as("delta")))).as("p"))
+      .select(col("p.day").as("day"), col("p.delta").as("delta"))
     val daily = pts.groupBy(col("day")).agg(sum(col("delta")).cast("long").as("net"))
     daily
       .withColumn("open_orders",
