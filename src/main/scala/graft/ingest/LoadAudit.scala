@@ -48,7 +48,9 @@ object LoadAudit {
   /** Per-group audit pairs in ONE grouped pass — the partition-level
     * variant (B17's per-partition reload verification): the key column
     * is excluded from the hash so a row's audit is invariant to which
-    * partition directory it lands in.
+    * partition directory it lands in. The map key is the group value's
+    * string form (any key type works, not just string columns); a null
+    * group key maps to "<null>" rather than NPE-ing the lookup.
     */
   def auditBy(df: DataFrame, key: String): Map[String, Audit] = {
     val cols = df.columns.sorted.filter(_ != key)
@@ -56,7 +58,9 @@ object LoadAudit {
     df.groupBy(col(key))
       .agg(count(lit(1)).as("n"),
         coalesce(bit_xor(xxhash64(cols: _*)), lit(0L)).as("cs"))
-      .collect().map(r => r.getString(0) -> Audit(r.getLong(1), r.getLong(2)))
+      .collect()
+      .map(r => Option(r.get(0)).map(_.toString).getOrElse("<null>")
+        -> Audit(r.getLong(1), r.getLong(2)))
       .toMap
   }
 }

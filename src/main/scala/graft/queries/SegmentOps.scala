@@ -170,8 +170,9 @@ object SegmentOps {
       |                            ORDER BY cents ASC, c_custkey ASC) AS i
       |  FROM spend)
       |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
-      |       round(CAST(2 * sum(i * cents) - (count(*) + 1) * sum(cents) AS DOUBLE)
-      |             / CAST(count(*) * sum(cents) AS DOUBLE), 6) AS gini
+      |       round(CAST(2 * sum(CAST(i AS DECIMAL(38,0)) * cents)
+      |                  - (count(*) + 1) * CAST(sum(cents) AS DECIMAL(38,0)) AS DOUBLE)
+      |             / (CAST(count(*) AS DOUBLE) * CAST(sum(cents) AS DOUBLE)), 6) AS gini
       |FROM r GROUP BY 1 ORDER BY c_mktsegment NULLS FIRST""".stripMargin
   ) { (s, d) =>
     val spend = T.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
@@ -181,14 +182,18 @@ object SegmentOps {
       .agg((sum(T.dec2(col("o_totalprice"))) * 100).cast("long").as("cents"))
     val w = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("cents").asc, col("c_custkey").asc)
+    // s1 = Σ i·cents summed in DECIMAL(38,0) on BOTH engines (the
+    // supplier_herfindahl pattern): a long sum would wrap silently in
+    // Spark while DuckDB promotes to HUGEINT — divergent failure modes.
     spend.withColumn("i", row_number().over(w).cast("long"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"),
-        sum(col("i") * col("cents")).as("s1"),
+        sum(col("i").cast("decimal(38,0)") * col("cents")).as("s1"),
         sum(col("cents")).as("stot"))
       .select(col("c_mktsegment"), col("n_customers"),
-        round((lit(2) * col("s1") - (col("n_customers") + 1) * col("stot")).cast("double")
-          / (col("n_customers") * col("stot")).cast("double"), 6).as("gini"))
+        round((lit(2) * col("s1") - (col("n_customers") + 1) * col("stot").cast("decimal(38,0)"))
+          .cast("double")
+          / (col("n_customers").cast("double") * col("stot").cast("double")), 6).as("gini"))
       .orderBy(col("c_mktsegment").asc_nulls_first)
   }
 

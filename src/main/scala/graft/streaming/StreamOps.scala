@@ -205,9 +205,14 @@ object StreamOps {
     val stream = s.table(s"b13_${token}_run2")
     val batch = slice.toIndexedSeq.toDF("event_id", "event_type")
       .groupBy(col("event_type")).agg(count(lit(1)).as("n_batch"))
-    stream.join(batch, "event_type")
-      .select(col("event_type"), col("n_stream"), col("n_batch"),
-        (col("n_stream") === col("n_batch")).as("recovered"))
+    // batch is the ground truth and must drive the row set: a left join
+    // from batch (with n_stream coalesced to 0) makes TOTAL state loss
+    // visible as recovered=false rows instead of silently vanishing from
+    // an inner join's output.
+    batch.join(stream, Seq("event_type"), "left")
+      .select(col("event_type"), coalesce(col("n_stream"), lit(0L)).as("n_stream"),
+        col("n_batch"),
+        (coalesce(col("n_stream"), lit(0L)) === col("n_batch")).as("recovered"))
       .orderBy(col("event_type").asc_nulls_first)
   }
 }
