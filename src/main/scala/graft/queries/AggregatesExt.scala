@@ -101,9 +101,12 @@ object AggregatesExt {
     * quantities, and the default RANGE window frame (ORDER BY price,
     * ties included up to CURRENT ROW) makes the cumulative sum
     * independent of intra-tie row order on BOTH engines — no rounding
-    * anywhere, one final decimal→double cast. The per-flag window is
-    * the grouped-percentile sort cost (bounded flag cardinality, the
-    * gini_segment caveat).
+    * anywhere, one final decimal→double cast. The Spark plan is the
+    * two-phase bin-and-refine (below): partial-aggregable bin counts +
+    * an exact RANGE window over only the crossing bin's ~n/B slice, so
+    * no flag ever serializes its full partition into one task. The
+    * oracle keeps the direct one-window form — same semantics, and
+    * DuckDB's single node doesn't carry the parallelism constraint.
     */
   val aggWeightedMedian: Q = Q(
     "agg_weighted_median",
@@ -123,19 +126,48 @@ object AggregatesExt {
       |GROUP BY flag ORDER BY flag NULLS FIRST""".stripMargin
   ) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
+    // Two-phase bin-and-refine: the naive per-flag RANGE cumulative sum
+    // serializes each flag's ENTIRE partition into one task (|flags|=3
+    // caps parallelism — the r6 scale flag). Instead: (A) bin rows into
+    // B equal-width cent buckets (exact integer floor division, bin(p)
+    // monotonic in p, price ties share a bin so RANGE semantics are
+    // preserved), partial-aggregate per-bin weights, and prefix-sum the
+    // |flags|×B bin table; (B) the crossing bin — the one where
+    // 2·cum first reaches tot — holds the weighted median, so only its
+    // ~n/B slice needs the exact RANGE window, seeded with the exact
+    // cumulative weight of all earlier bins. Same result bit-for-bit,
+    // no unbounded per-flag sort anywhere.
+    val B = 1024
     val w = T.lineitem(s, d).select(
       col("l_returnflag").as("flag"),
       T.dec2(col("l_extendedprice")).as("price"),
       col("l_quantity").cast("long").as("qty"))
+      .withColumn("cents", (col("price") * 100).cast("long"))
+    val stats = w.groupBy(col("flag"))
+      .agg(min(col("cents")).as("minc"), max(col("cents")).as("maxc"),
+        sum(col("qty")).as("tot"))
+    val binned = w.join(broadcast(stats), Seq("flag"))
+      .withColumn("bin", expr(s"(cents - minc) * ${B}L div (maxc - minc + 1)"))
+    // ≤ |flags|×B rows: the only window runs over this bounded table
+    val cumBins = binned.groupBy(col("flag"), col("bin"))
+      .agg(sum(col("qty")).as("bq"))
+      .withColumn("cumb", sum(col("bq")).over(
+        Window.partitionBy(col("flag")).orderBy(col("bin"))))
+      .join(broadcast(stats.select(col("flag"), col("tot"))), Seq("flag"))
+      .localCheckpoint()
+    val crossing = cumBins.filter(lit(2) * col("cumb") >= col("tot"))
+      .groupBy(col("flag")).agg(min(col("bin")).as("bin"))
+    val seed = cumBins.join(crossing, Seq("flag", "bin"))
+      .select(col("flag"), col("bin"), (col("cumb") - col("bq")).as("cum_before"),
+        col("tot"))
+    val slice = binned.select(col("flag"), col("bin"), col("price"), col("qty"))
+      .join(broadcast(seed), Seq("flag", "bin"))
     // default frame with ORDER BY is RANGE UNBOUNDED PRECEDING..CURRENT
-    // ROW on both engines: price ties accumulate together, so `cum` is
-    // intra-tie-order independent
-    val c = w
-      .withColumn("cum", sum(col("qty")).over(
-        Window.partitionBy(col("flag")).orderBy(col("price"))).cast("long"))
-      .withColumn("tot", sum(col("qty")).over(
-        Window.partitionBy(col("flag"))).cast("long"))
-    c.filter(lit(2) * col("cum") >= col("tot"))
+    // ROW: price ties accumulate together, so `cum` stays intra-tie-
+    // order independent — now over a 1/B slice, not the full flag
+    slice.withColumn("cum", col("cum_before") + sum(col("qty")).over(
+        Window.partitionBy(col("flag")).orderBy(col("price"))))
+      .filter(lit(2) * col("cum") >= col("tot"))
       .groupBy(col("flag"))
       .agg(min(col("price")).cast("double").as("weighted_median"),
         min(col("tot")).cast("long").as("total_qty"))
