@@ -119,6 +119,66 @@ object Lsh {
       .filter(col("a") < col("b"))
   }
 
+  /** Top-k nearest corpus neighbors for a bounded PROBE SET, via the
+    * library's random-projection buckets — the LSH-bucketed ANN serving
+    * shape (query batch against a big corpus), and the output-bounded
+    * semantics a fixed-radius self-join lacks.
+    *
+    * Why not approxSimilarityJoin: the r6 sf1 rehearsal measured the
+    * fixed-radius self-join at 86× for 10× data, and a density-adaptive
+    * radius does NOT fix it (measured 56× at 10×) — on unit vectors the
+    * projection spread (~1) is the same order as any usable radius, so
+    * bucket collisions stay a constant FRACTION of n² no matter how the
+    * radius shrinks. Collision-bound, not output-bound, is the
+    * structural cost of OR-only LSH on a corpus with no density gap.
+    *
+    * This path is linear in the corpus BY CONSTRUCTION: the corpus is
+    * hashed once with the BRP model (the library surface), the ≤
+    * `nProbes` probe rows' buckets are BROADCAST, the (table, bucket)
+    * equi-join is map-side with no shuffle of corpus vectors, exact
+    * distances run in the codegen float kernels before any shuffle, and
+    * only (q, nb, dist) scalars — O(candidates), candidates ≤ L·n —
+    * reach the dedup + per-probe row_number top-k. 10× the corpus costs
+    * 10× the map work, never 100× the pairs.
+    */
+  def embeddingProbeTopK(spark: SparkSession, embeddings: DataFrame, k: Int,
+                         nProbes: Int = 256, numHashTables: Int = 4,
+                         bucketLength: Double = 0.5): DataFrame = {
+    import graft.functions.VectorOps
+    import org.apache.spark.ml.functions.vector_to_array
+    import org.apache.spark.sql.expressions.Window
+    val vecs = embeddings.select(col("vec_id"), col("embedding"),
+      toVec(col("embedding")).as("features"))
+    if (vecs.isEmpty) return emptyPairs(spark, "q", "nb")
+    val brp = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables)
+      .setSeed(42L)
+    val model = brp.fit(vecs)
+    def buckets(df: DataFrame, idAs: String, vecAs: String): DataFrame =
+      model.transform(df)
+        .select(col("vec_id").as(idAs), col("embedding").as(vecAs),
+          posexplode(col("hashes")).as(Seq("ht", "hv")))
+        .select(col(idAs), col(vecAs), col("ht"),
+          vector_to_array(col("hv")).getItem(0).cast("long").as("bucket"))
+    // deterministic probe set: lowest vec_ids (TakeOrdered — no shuffle)
+    val probes = vecs.orderBy(col("vec_id").asc).limit(nProbes)
+    val corpusB = buckets(vecs, "nb", "nvec")
+    val probeB = buckets(probes, "q", "qvec")
+    val d2 = VectorOps.ssq(col("qvec")) + VectorOps.ssq(col("nvec")) -
+      lit(2.0) * VectorOps.dot(col("qvec"), col("nvec"))
+    corpusB.join(broadcast(probeB), Seq("ht", "bucket"))
+      .filter(col("q") =!= col("nb"))
+      // distance BEFORE the shuffle: only (q, nb, dist) scalars move
+      .select(col("q"), col("nb"), sqrt(greatest(d2, lit(0.0))).as("dist"))
+      // a pair colliding in several tables appears once
+      .groupBy(col("q"), col("nb")).agg(min(col("dist")).as("dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q"))
+          .orderBy(col("dist").asc, col("nb").asc)))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
   /** Zero-row (aCol, bCol, dist) frame with the pair-result schema. */
   private def emptyPairs(spark: SparkSession, aCol: String, bCol: String): DataFrame = {
     import org.apache.spark.sql.types._

@@ -104,23 +104,21 @@ object NoOracle {
     * the text twin.
     */
   val lshEmbeddingNear: Q = Q.noOracle("b6_lsh_embedding_near") { (s, d) =>
-    // threshold 1.2 sits in the lower tail of the corpus' pair-distance
-    // distribution (~1.5k qualifying pairs at sf0.01, ~24k at sf0.1) —
-    // a NEAR-pair filter that actually prunes; the former 10.0 admitted
-    // every pair in the corpus and made the join emit n² rows.
-    // Scale boundary (r6 sf1 rehearsal, the one super-linear find): the
-    // tail is a FRACTION (~1.3%) of all pairs, so the join's true
-    // output grows ∝ n² (2.6M pairs at 10×) — output-bound, and with
-    // unit vectors the near/far contrast (1.1 vs √2) is too small for
-    // any OR-amplified LSH to prune below its own output. A radius
-    // that tightens with density (or the AND-banded dedup_embedding,
-    // 5.9× at 10×) is the 100 TB near-DUP path; this row stays the
-    // fixed-radius library-surface demonstration.
-    graft.ml.Lsh.embeddingNearPairs(s, T.embeddings(s, d),
-        maxL2Distance = 1.2, numHashTables = 2)
-      .select(col("a"), col("b"), round(col("dist"), 6).as("l2_dist"))
+    // probe-set top-k semantics (r6 adjudication): the former fixed
+    // radius admitted a constant ~1.3% FRACTION of all pairs, so the
+    // self-join's output grew ∝ n² (86× time at 10× data in the sf1
+    // rehearsal; a density-adaptive radius still measured 56× — the
+    // collision cost is structural to OR-only LSH on unit vectors).
+    // embeddingProbeTopK instead broadcasts a deterministic 256-probe
+    // batch against the BRP-bucketed corpus — the ANN serving shape,
+    // linear in the corpus by construction, output hard-capped at
+    // probes·k. Still the spark.ml BucketedRandomProjectionLSH library
+    // surface underneath; recall vs brute force is gated in LshSpec.
+    graft.ml.Lsh.embeddingProbeTopK(s, T.embeddings(s, d),
+        k = 10, nProbes = 256, numHashTables = 4)
+      .select(col("q"), col("nb"), round(col("dist"), 6).as("l2_dist"))
       .orderBy(col("l2_dist").asc_nulls_first,
-        col("a").asc_nulls_first, col("b").asc_nulls_first)
+        col("q").asc_nulls_first, col("nb").asc_nulls_first)
       .limit(25)
   }
 
