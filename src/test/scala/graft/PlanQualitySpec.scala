@@ -29,7 +29,11 @@ class PlanQualitySpec extends SparkSpec {
     "tpch_q22",            // 1-row avg-balance scalar crossed into the customer subset
     "text_bigram_logprob", // 1-row corpus-total aggregate crossed into the model join
     "rfm_segment",         // 1-row anchor + 1-row quintile-cutpoint aggregates crossed in
-    "benford_digits")      // 1-row corpus-total aggregate crossed into the digit counts
+    "benford_digits",      // 1-row corpus-total aggregate crossed into the digit counts
+    "text_bm25",           // 1-row corpus (N, Σdl) aggregate crossed into the tf/df join
+    "survival_km",         // 1-row max-date aggregate crossed into the subject table
+    "mutual_info",         // 1-row corpus-total aggregate crossed into the cell table
+    "assoc_rules")         // 1-row basket-total aggregate crossed into the pair supports
     // dedup_embedding was allowlisted through r2 (all-pairs BNLJ); it is
     // now banded sign-LSH with an equi-join — no cross join to excuse
 
