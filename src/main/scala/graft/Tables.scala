@@ -31,13 +31,20 @@ object Tables {
     tbl(s, d, "embeddings")
   }
 
-  /** events.parquet carries a parquet TIMESTAMP(NANOS) column that Spark
-    * 4.x refuses by default (PARQUET_TYPE_ILLEGAL). Read it as Long nanos
-    * via the legacy conf (runtime-settable) and normalize to a proper
-    * microsecond TimestampType column `ts` (FIXTURES.md, SURVEY §2 D5).
-    * Synthesized scale-up dirs (graft.ScaleUp) carry `ts` as
-    * TIMESTAMP(MICROS) already — Spark cannot write nanos — so the
-    * normalization applies only when the raw column is the nanos long.
+  /** events.parquet's `ts` column has shipped in three physical forms
+    * across fixture generations; normalize ALL of them to a microsecond
+    * TimestampType column so every consumer sees one type (FIXTURES.md,
+    * SURVEY §2 D5):
+    *  - parquet TIMESTAMP(NANOS): Spark 4.x refuses it by default
+    *    (PARQUET_TYPE_ILLEGAL); the legacy conf (runtime-settable) reads
+    *    it as Long nanos, converted below.
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+    *    TIMESTAMP_NTZ (spark.sql.parquet.inferTimestampNTZ default on),
+    *    on which unix_micros() and window() fail with DATATYPE_MISMATCH.
+    *    Session tz is UTC on both engines, so casting NTZ → TimestampType
+    *    preserves the instant exactly (ADVICE r7 high finding).
+    *  - TIMESTAMP(MICROS, adjusted): already TimestampType — pass through
+    *    (graft.ScaleUp synthesized dirs).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -47,6 +54,8 @@ object Tables {
         // `div` = integer division on longs; `/` would round-trip through
         // double and lose sub-µs bits (epoch-nanos ≈ 1.7e18 > 2^53).
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }
