@@ -260,5 +260,54 @@ object IngestE2e {
     }
   }
 
-  val all: Seq[Q] = Seq(ingestE2e, jdbcRoundtrip, jdbcPushdown, catalogLifecycle)
+  /** B7×B3: streaming micro-batches landed on a LIVE JDBC sink via
+    * foreachBatch — the streaming-CDC-into-warehouse shape that
+    * modernizes the reference's cron-tick file loop into a continuous
+    * pipeline. A deterministic event slice arrives in three chunks
+    * through MemoryStream; each micro-batch appends to embedded Derby
+    * through the same partition-parallel JdbcSink the batch path uses;
+    * the final table must carry exactly the input rows with LoadAudit
+    * (n, checksum) parity. Temp dirs/DB names carry a per-invocation
+    * token (the b5 idempotency lesson).
+    */
+  val streamJdbc: Q = Q.noOracle("b7_stream_jdbc") { (s, d) =>
+    import s.implicits._
+    val token = freshToken()
+    val url = s"jdbc:derby:memory:graft_sj_$token;create=true"
+    // deterministic ~2.5% slice keeps real multi-batch state without
+    // dominating Verify/Bench time (the b13 sizing argument)
+    val slice = T.events(s, d).select(col("event_id"), col("event_type"))
+      .filter(col("event_id") % 40 === 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val chunks = (0L to 2L).map(i => slice.filter(t => (t._1 / 40) % 3 == i))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(s"graft_sj_ckpt_$token").toString
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = mem.toDS().toDF("event_id", "event_type")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        JdbcSink.appendInto(batch.toDF(), JdbcSink.Config(
+          url = url, table = "EVENTS_LANDED", numPartitions = 2,
+          batchSize = 500, driver = derbyDriver))
+        nBatches.incrementAndGet()
+        ()
+      }
+      .start()
+    try chunks.foreach { c => mem.addData(c.toIndexedSeq); q.processAllAvailable() }
+    finally q.stop()
+    val back = s.read.format("jdbc").option("url", url)
+      .option("dbtable", "EVENTS_LANDED").option("driver", derbyDriver).load()
+    val src = slice.toIndexedSeq.toDF("event_id", "event_type")
+    val a = LoadAudit.audit(src)
+    val b = LoadAudit.audit(back)
+    Seq((a.nRows, nBatches.get().toLong, b.nRows,
+        b.nRows == a.nRows && a.checksum == b.checksum))
+      .toDF("n_input", "n_batches", "n_jdbc", "landed_ok")
+  }
+
+  val all: Seq[Q] = Seq(ingestE2e, jdbcRoundtrip, jdbcPushdown, catalogLifecycle,
+    streamJdbc)
 }

@@ -33,7 +33,9 @@ class PlanQualitySpec extends SparkSpec {
     "text_bm25",           // 1-row corpus (N, Σdl) aggregate crossed into the tf/df join
     "survival_km",         // 1-row max-date aggregate crossed into the subject table
     "mutual_info",         // 1-row corpus-total aggregate crossed into the cell table
-    "assoc_rules")         // 1-row basket-total aggregate crossed into the pair supports
+    "assoc_rules",         // 1-row basket-total aggregate crossed into the pair supports
+    "stats_chi2",          // 1-row total + 1-row dims aggregates crossed into the ≤25-cell table
+    "graph_triangles")     // 1-row (np, tw) threshold crossed into the |nations|²-bounded pair table
     // dedup_embedding was allowlisted through r2 (all-pairs BNLJ); it is
     // now banded sign-LSH with an equi-join — no cross join to excuse
 
