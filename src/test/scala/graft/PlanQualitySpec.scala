@@ -35,7 +35,12 @@ class PlanQualitySpec extends SparkSpec {
     "mutual_info",         // 1-row corpus-total aggregate crossed into the cell table
     "assoc_rules",         // 1-row basket-total aggregate crossed into the pair supports
     "stats_chi2",          // 1-row total + 1-row dims aggregates crossed into the ≤25-cell table
-    "graph_triangles")     // 1-row (np, tw) threshold crossed into the |nations|²-bounded pair table
+    "graph_triangles",     // 1-row (np, tw) threshold crossed into the |nations|²-bounded pair table
+    "stats_ks",            // 1-row (n0, n1) totals crossed into the distinct-cents ECDF
+    "stats_bootstrap",     // 40-row replicate table + 1-row (n, Σ) aggregate crossed into the draws
+    "ts_acf",              // 6-row lag table crossed into the calendar-bounded hourly aggregate
+    "text_collocations",   // 1-row corpus-total aggregates crossed into the PMI join
+    "graph_shortest_path") // 1-row (np, tw) threshold cross in the edge derivation (graph_triangles' shape)
     // dedup_embedding was allowlisted through r2 (all-pairs BNLJ); it is
     // now banded sign-LSH with an equi-join — no cross join to excuse
 
