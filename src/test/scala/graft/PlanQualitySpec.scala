@@ -40,7 +40,9 @@ class PlanQualitySpec extends SparkSpec {
     "stats_bootstrap",     // 40-row replicate table + 1-row (n, Σ) aggregate crossed into the draws
     "ts_acf",              // 6-row lag table crossed into the calendar-bounded hourly aggregate
     "text_collocations",   // 1-row corpus-total aggregates crossed into the PMI join
-    "graph_shortest_path") // 1-row (np, tw) threshold cross in the edge derivation (graph_triangles' shape)
+    "graph_shortest_path", // 1-row (np, tw) threshold cross in the edge derivation (graph_triangles' shape)
+    "embedding_cov",       // 15-row (i,j) dimension-pair table crossed into the quantized corpus
+    "graph_node_jaccard")  // 1-row (np, tw) threshold cross in the edge derivation (graph_triangles' shape)
     // dedup_embedding was allowlisted through r2 (all-pairs BNLJ); it is
     // now banded sign-LSH with an equi-join — no cross join to excuse
 
