@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables => T}
+
+/** Round-8d rank/robust/downsampling wave: Mann–Whitney rank-sum,
+  * Theil–Sen robust trend, and LTTB-style series downsampling — the
+  * rank-based companions to stats_ks's ECDF test, agg_linreg's OLS
+  * slope, and ts_ema's smoothers.
+  *
+  * Determinism discipline: ranks are kept in HALVES (2·rank is an
+  * integer) so every rank sum is an exact BIGINT; products beyond long
+  * headroom run in DECIMAL(38,0) (welch precedent); triangle areas in
+  * the downsampler are compared by exact integer cross-multiplication
+  * (no float area ever computed); the only floats are final formulas
+  * mirrored token-for-token. The KS two-phase binned-prefix idiom
+  * carries the global rank cumulative at scale.
+  */
+object RankOps {
+
+  private def dbl(c: Column): Column = c.cast("double")
+
+  /** Mann–Whitney U (rank-sum) test between the BUILDING and MACHINERY
+    * order-value samples, tie-corrected normal approximation — the
+    * rank-based "is one distribution stochastically larger?" companion
+    * to stats_ks's max-gap test. Average ranks stay exact: for a tied
+    * value with P smaller pooled points and t ties, 2·rank = 2P+t+1 is
+    * an INTEGER, so the rank sum R0 is carried as exact BIGINT 2·R0.
+    * The prefix P comes from the same two-phase binned cumulative as
+    * stats_ks (no global window over corpus-sized data in Spark; the
+    * oracle uses DuckDB's plain global window). The tie term Σ(t³−t)
+    * and z denominator run in doubles from exact integers,
+    * token-mirrored.
+    */
+  val statsMannWhitney: Q = Q(
+    "stats_mann_whitney",
+    """WITH o AS (
+      |  SELECT c_mktsegment AS seg,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM customer JOIN orders ON c_custkey = o_custkey
+      |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+      |v AS (
+      |  SELECT cents,
+      |         CAST(sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+      |         CAST(sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      |  FROM o GROUP BY 1),
+      |r AS (
+      |  SELECT cents, c0, c1, c0 + c1 AS ct,
+      |         CAST(sum(c0 + c1) OVER (ORDER BY cents) AS BIGINT) - (c0 + c1) AS p
+      |  FROM v),
+      |agg AS (
+      |  SELECT CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1,
+      |         CAST(sum(c0 * (2 * p + ct + 1)) AS BIGINT) AS r0_2,
+      |         CAST(sum(CASE WHEN ct > 1 THEN ct * ct * ct - ct ELSE 0 END) AS BIGINT) AS tie3
+      |  FROM r),
+      |u AS (
+      |  SELECT n0, n1, n0 + n1 AS n, tie3,
+      |         r0_2 - n0 * (n0 + 1) AS u0_2
+      |  FROM agg)
+      |SELECT n0, n1, CAST(u0_2 AS DOUBLE) / 2.0 AS u0,
+      |  round((CAST(u0_2 - n0 * n1 AS DOUBLE) / 2.0)
+      |        / sqrt(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0
+      |               * (CAST(n + 1 AS DOUBLE)
+      |                  - CAST(tie3 AS DOUBLE)
+      |                    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))), 6) AS z
+      |FROM u""".stripMargin
+  ) { (s, d) =>
+    val o = T.customer(s, d).select(col("c_custkey"), col("c_mktsegment").as("seg"))
+      .join(T.orders(s, d).select(col("o_custkey"), col("o_totalprice")),
+        col("c_custkey") === col("o_custkey"))
+      .filter(col("seg").isin("BUILDING", "MACHINERY"))
+      .select(col("seg"), (T.dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val v = o.groupBy(col("cents")).agg(
+      sum(when(col("seg") === "BUILDING", 1L).otherwise(0L)).as("c0"),
+      sum(when(col("seg") === "MACHINERY", 1L).otherwise(0L)).as("c1"))
+      .withColumn("ct", col("c0") + col("c1"))
+      .withColumn("bin", expr("cents div 1000000"))
+    // two-phase exclusive prefix of pooled counts (the stats_ks idiom)
+    val binPre = v.groupBy(col("bin")).agg(sum(col("ct")).as("bt"))
+      .select(col("bin"),
+        (sum(col("bt")).over(Window.orderBy(col("bin"))) - col("bt")).as("pb"))
+    val wb = Window.partitionBy(col("bin")).orderBy(col("cents"))
+    val r = v.join(broadcast(binPre), "bin")
+      .withColumn("p", col("pb") + sum(col("ct")).over(wb) - col("ct"))
+    val agg = r.agg(
+      sum(col("c0")).cast("long").as("n0"),
+      sum(col("c1")).cast("long").as("n1"),
+      sum(col("c0") * (lit(2) * col("p") + col("ct") + 1)).cast("long").as("r0_2"),
+      sum(when(col("ct") > 1, col("ct") * col("ct") * col("ct") - col("ct"))
+        .otherwise(0L)).cast("long").as("tie3"))
+    val u = agg.select(col("n0"), col("n1"), (col("n0") + col("n1")).as("n"),
+      col("tie3"), (col("r0_2") - col("n0") * (col("n0") + 1)).as("u0_2"))
+    u.select(col("n0"), col("n1"),
+      (dbl(col("u0_2")) / lit(2.0)).as("u0"),
+      round((dbl(col("u0_2") - col("n0") * col("n1")) / lit(2.0))
+        / sqrt(dbl(col("n0")) * dbl(col("n1")) / lit(12.0)
+          * (dbl(col("n") + 1)
+            - dbl(col("tie3")) / (dbl(col("n")) * dbl(col("n") - 1)))), 6).as("z"))
+  }
+
+  /** Theil–Sen robust trend: the MEDIAN of all pairwise slopes of the
+    * daily event-count series — the outlier-proof alternative to
+    * agg_linreg's OLS slope (one corrupted day cannot move it). Days
+    * are exact integer epoch-day indexes; each slope is one division
+    * of exact integers (identical IEEE cross-engine); percentile_disc
+    * picks an ACTUAL slope element, so the median is deterministic.
+    * Scale: the pairwise expansion runs over the CALENDAR-BOUNDED daily
+    * aggregate (~n_days²/2 pairs regardless of corpus size) — the
+    * corpus-scale work is the one partial-aggregable daily count.
+    */
+  val tsTheilSen: Q = Q(
+    "ts_theil_sen",
+    """WITH dly AS (
+      |  SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS dx,
+      |         CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |p AS (
+      |  SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.dx - a.dx AS DOUBLE) AS slope
+      |  FROM dly a JOIN dly b ON a.dx < b.dx)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM dly) AS n_days,
+      |       CAST(count(*) AS BIGINT) AS n_pairs,
+      |       round(percentile_disc(0.5) WITHIN GROUP (ORDER BY slope), 6) AS slope_med
+      |FROM p""".stripMargin
+  ) { (s, d) =>
+    val dly = T.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .select(expr("unix_micros(day) div 86400000000").as("dx"), col("y"))
+    val a = dly.select(col("dx").as("xa"), col("y").as("ya"))
+    val b = dly.select(col("dx").as("xb"), col("y").as("yb"))
+    val p = a.join(b, col("xa") < col("xb"))
+      .select((dbl(col("yb") - col("ya")) / dbl(col("xb") - col("xa"))).as("slope"))
+    val nDays = dly.agg(count(lit(1)).as("n_days"))
+    p.crossJoin(broadcast(nDays))
+      .groupBy(col("n_days"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY slope)"), 6).as("slope_med"))
+      .select(col("n_days"), col("n_pairs"), col("slope_med"))
+  }
+
+  /** LTTB-style series downsampling of the hourly event-count series:
+    * 60-point time buckets, keep the point forming the LARGEST triangle
+    * with the neighboring buckets' centroids — the visual-fidelity
+    * downsampler dashboards run before plotting (largest-triangle-
+    * three-buckets with centroid anchors, the parallel variant: the
+    * classic sequential LTTB anchors on the previously SELECTED point,
+    * which serializes; centroid anchors make every bucket independent).
+    * Areas are compared by EXACT integer cross-multiplication — the
+    * triangle area with rational centroid vertices is scaled by
+    * cp²·cn > 0, preserving the argmax with zero float arithmetic;
+    * (area DESC, x ASC) is a total order. Interior buckets only (both
+    * neighbors must exist). Scale: bucket sums are partial-aggregable;
+    * the per-bucket argmax window is partitioned by bucket — parallel
+    * at any scale; anchors join on the tiny bucket aggregate.
+    */
+  val tsDownsampleLttb: Q = Q(
+    "ts_downsample_lttb",
+    """WITH h AS (
+      |  SELECT epoch_us(date_trunc('hour', ts)) AS us,
+      |         CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |t0 AS (SELECT min(us) AS us0 FROM h),
+      |hx AS (
+      |  SELECT CAST((us - us0) // 3600000000 AS BIGINT) AS x, y
+      |  FROM h CROSS JOIN t0),
+      |bs AS (
+      |  SELECT x // 60 AS k, CAST(count(*) AS BIGINT) AS c,
+      |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+      |  FROM hx GROUP BY 1),
+      |cand AS (
+      |  SELECT hx.x // 60 AS k, hx.x AS x, hx.y AS y,
+      |         abs((p.sx * nx.c - nx.sx * p.c) * (hx.y * p.c - p.sy)
+      |             - (p.sx - hx.x * p.c) * (nx.sy * p.c - p.sy * nx.c)) AS area2
+      |  FROM hx
+      |  JOIN bs p ON p.k = hx.x // 60 - 1
+      |  JOIN bs nx ON nx.k = hx.x // 60 + 1),
+      |rk AS (
+      |  SELECT k, x, y,
+      |         row_number() OVER (PARTITION BY k
+      |                            ORDER BY area2 DESC, x ASC) AS rn
+      |  FROM cand)
+      |SELECT k, x AS x_hour, y AS y_count FROM rk WHERE rn = 1
+      |ORDER BY k""".stripMargin
+  ) { (s, d) =>
+    val h = T.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("y"))
+      .select(unix_micros(col("hr")).as("us"), col("y"))
+    val t0 = h.agg(min(col("us")).as("us0"))
+    val hx = h.crossJoin(broadcast(t0))
+      .select(expr("(us - us0) div 3600000000").as("x"), col("y"))
+      .withColumn("k", expr("x div 60"))
+    val bs = hx.groupBy(col("k")).agg(
+      count(lit(1)).as("c"),
+      sum(col("x")).cast("long").as("sx"),
+      sum(col("y")).cast("long").as("sy"))
+    val prev = bs.select((col("k") + 1).as("k"), col("c").as("cp"),
+      col("sx").as("sxp"), col("sy").as("syp"))
+    val nxt = bs.select((col("k") - 1).as("k"), col("c").as("cn"),
+      col("sx").as("sxn"), col("sy").as("syn"))
+    val cand = hx.join(broadcast(prev), "k").join(broadcast(nxt), "k")
+      .withColumn("area2",
+        abs((col("sxp") * col("cn") - col("sxn") * col("cp"))
+          * (col("y") * col("cp") - col("syp"))
+          - (col("sxp") - col("x") * col("cp"))
+          * (col("syn") * col("cp") - col("syp") * col("cn"))))
+    val w = Window.partitionBy(col("k")).orderBy(col("area2").desc, col("x").asc)
+    cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("k"), col("x").as("x_hour"), col("y").as("y_count"))
+      .orderBy(col("k"))
+  }
+
+  val all: Seq[Q] = Seq(statsMannWhitney, tsTheilSen, tsDownsampleLttb)
+}

@@ -42,7 +42,10 @@ class PlanQualitySpec extends SparkSpec {
     "text_collocations",   // 1-row corpus-total aggregates crossed into the PMI join
     "graph_shortest_path", // 1-row (np, tw) threshold cross in the edge derivation (graph_triangles' shape)
     "embedding_cov",       // 15-row (i,j) dimension-pair table crossed into the quantized corpus
-    "graph_node_jaccard")  // 1-row (np, tw) threshold cross in the edge derivation (graph_triangles' shape)
+    "graph_node_jaccard",  // 1-row (np, tw) threshold cross in the edge derivation (graph_triangles' shape)
+    "stats_mann_whitney",  // 1-row bin-prefix/totals aggregates crossed into the rank cumulative
+    "ts_theil_sen",        // pairwise non-equi self-join over the CALENDAR-BOUNDED daily aggregate + 1-row n_days cross
+    "ts_downsample_lttb")  // 1-row min-epoch aggregate crossed into the hour rebase
     // dedup_embedding was allowlisted through r2 (all-pairs BNLJ); it is
     // now banded sign-LSH with an equi-join — no cross join to excuse
 
