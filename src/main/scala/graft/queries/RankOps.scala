@@ -213,5 +213,110 @@ object RankOps {
       .orderBy(col("k"))
   }
 
-  val all: Seq[Q] = Seq(statsMannWhitney, tsTheilSen, tsDownsampleLttb)
+  /** Spearman rank correlation (tie-corrected) between lineitem
+    * quantity and extended price — the monotone-association measure
+    * agg_corr's Pearson can't see through outliers. Both variables are
+    * ranked with average ranks kept EXACT as integers (2·rank = 2P+t+1,
+    * the stats_mann_whitney device), ranks join back to rows by value
+    * (the 50-value quantity map broadcasts; the price map is an
+    * equi-join shuffle), and ρ is Pearson over the integer 2·rank pairs
+    * with every sufficient statistic summed in DECIMAL(38,0) —
+    * (2r)² ≈ 4n² per row overflows BIGINT at sf1, the welch headroom
+    * argument. The price-rank prefix uses the two-phase binned
+    * cumulative; the only floats are the final formula, token-mirrored.
+    */
+  val statsSpearman: Q = Q(
+    "stats_spearman",
+    """WITH l AS (
+      |  SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qv,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pv
+      |  FROM lineitem),
+      |qr AS (
+      |  SELECT qv, 2 * (CAST(sum(ct) OVER (ORDER BY qv) AS BIGINT) - ct) + ct + 1 AS r2
+      |  FROM (SELECT qv, CAST(count(*) AS BIGINT) AS ct FROM l GROUP BY 1) qg),
+      |pr AS (
+      |  SELECT pv, 2 * (CAST(sum(ct) OVER (ORDER BY pv) AS BIGINT) - ct) + ct + 1 AS r2
+      |  FROM (SELECT pv, CAST(count(*) AS BIGINT) AS ct FROM l GROUP BY 1) pg),
+      |j AS (
+      |  SELECT qr.r2 AS x, pr.r2 AS y
+      |  FROM l JOIN qr ON l.qv = qr.qv JOIN pr ON l.pv = pr.pv),
+      |agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+      |         CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+      |         CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+      |         CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+      |         CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy
+      |  FROM j)
+      |SELECT n,
+      |  round(CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+      |        / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)
+      |               * CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE)), 6)
+      |    AS rho
+      |FROM agg""".stripMargin
+  ) { (s, d) =>
+    val l = T.lineitem(s, d).select(
+      (T.dec2(col("l_quantity")) * 100).cast("long").as("qv"),
+      (T.dec2(col("l_extendedprice")) * 100).cast("long").as("pv"))
+    // generic two-phase 2·avg-rank map for a value column (stats_ks /
+    // mann_whitney idiom): rank2(v) = 2·P(v) + t(v) + 1, exact integer
+    def rank2(vals: org.apache.spark.sql.DataFrame, vc: String): org.apache.spark.sql.DataFrame = {
+      val v = vals.groupBy(col(vc)).agg(count(lit(1)).as("ct"))
+        .withColumn("bin", expr(s"$vc div 1000000"))
+      val binPre = v.groupBy(col("bin")).agg(sum(col("ct")).as("bt"))
+        .select(col("bin"),
+          (sum(col("bt")).over(Window.orderBy(col("bin"))) - col("bt")).as("pb"))
+      val wb = Window.partitionBy(col("bin")).orderBy(col(vc))
+      v.join(broadcast(binPre), "bin")
+        .select(col(vc),
+          (lit(2) * (col("pb") + sum(col("ct")).over(wb) - col("ct"))
+            + col("ct") + 1).as("r2"))
+    }
+    val qr = rank2(l.select(col("qv")), "qv").withColumnRenamed("r2", "x")
+    val pr = rank2(l.select(col("pv")), "pv").withColumnRenamed("r2", "y")
+    val j = l.join(broadcast(qr), "qv").join(pr, "pv").select(col("x"), col("y"))
+    def d38x(c: Column) = c.cast("decimal(38,0)")
+    val agg = j.agg(
+      count(lit(1)).as("n"),
+      sum(d38x(col("x"))).cast("decimal(38,0)").as("sx"),
+      sum(d38x(col("y"))).cast("decimal(38,0)").as("sy"),
+      sum(d38x(col("x")) * col("y")).cast("decimal(38,0)").as("sxy"),
+      sum(d38x(col("x")) * col("x")).cast("decimal(38,0)").as("sxx"),
+      sum(d38x(col("y")) * col("y")).cast("decimal(38,0)").as("syy"))
+    agg.select(col("n"),
+      round((d38x(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double")
+        / sqrt((d38x(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double")
+          * (d38x(col("n")) * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+        .as("rho"))
+  }
+
+  /** B10 depth: MERGEABLE HLL SKETCHES — the associative distinct-count
+    * structure that makes 100 TB COUNT(DISTINCT) a map-side-combine:
+    * per-nation sketches of the customer keys are built independently,
+    * union-merged, and the estimate must EQUAL the single-pass global
+    * sketch (HLL register-max is order-independent and associative —
+    * the property the row proves), with relative error vs the exact
+    * distinct inside the lgConfigK=12 bound (±1.6% theoretical,
+    * asserted at 5%). Built on Spark's Apache DataSketches bindings.
+    */
+  val hllMerge: Q = Q.noOracle("b10_hll_merge") { (s, d) =>
+    val cust = T.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val perNation = cust.groupBy(col("c_nationkey"))
+      .agg(expr("hll_sketch_agg(c_custkey, 12)").as("sk"))
+    val merged = perNation
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_merged"))
+    val direct = cust.agg(
+      expr("hll_sketch_estimate(hll_sketch_agg(c_custkey, 12))").as("est_direct"),
+      countDistinct(col("c_custkey")).as("n_exact"))
+    val r = merged.crossJoin(broadcast(direct))
+    r.select(col("n_exact"),
+      col("est_merged").cast("long").as("est_merged"),
+      col("est_direct").cast("long").as("est_direct"),
+      (col("est_merged") === col("est_direct")).as("merge_assoc_ok"),
+      (abs(col("est_merged").cast("double") - col("n_exact").cast("double"))
+        <= col("n_exact").cast("double") * lit(0.05)).as("rel_err_ok"))
+  }
+
+  val all: Seq[Q] = Seq(statsMannWhitney, tsTheilSen, tsDownsampleLttb,
+    statsSpearman, hllMerge)
 }

@@ -45,7 +45,8 @@ class PlanQualitySpec extends SparkSpec {
     "graph_node_jaccard",  // 1-row (np, tw) threshold cross in the edge derivation (graph_triangles' shape)
     "stats_mann_whitney",  // 1-row bin-prefix/totals aggregates crossed into the rank cumulative
     "ts_theil_sen",        // pairwise non-equi self-join over the CALENDAR-BOUNDED daily aggregate + 1-row n_days cross
-    "ts_downsample_lttb")  // 1-row min-epoch aggregate crossed into the hour rebase
+    "ts_downsample_lttb",  // 1-row min-epoch aggregate crossed into the hour rebase
+    "b10_hll_merge")       // 1-row direct-sketch aggregate crossed against the merged sketch
     // dedup_embedding was allowlisted through r2 (all-pairs BNLJ); it is
     // now banded sign-LSH with an equi-join — no cross join to excuse
 

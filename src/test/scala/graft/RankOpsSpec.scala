@@ -97,4 +97,41 @@ class RankOpsSpec extends SparkSpec {
     assert(got == expected)
     assert(got.nonEmpty && got.map(_._1) == got.map(_._1).sorted)
   }
+
+  test("stats_spearman matches a driver-side exact-rank Pearson recompute") {
+    val rows = Tables.lineitem(spark, sf())
+      .select(col("l_quantity"), col("l_extendedprice")).collect()
+      .map { r =>
+        def cents(v: Double) = JBD.valueOf(v)
+          .setScale(2, RoundingMode.HALF_UP).movePointRight(2).longValueExact()
+        (cents(r.getDouble(0)), cents(r.getDouble(1)))
+      }
+    def rank2Map(vs: Seq[Long]): Map[Long, BigInt] = {
+      val counts = vs.groupBy(identity).map { case (v, g) => v -> g.size.toLong }
+      var p = 0L
+      counts.keys.toSeq.sorted.map { v =>
+        val r = v -> (BigInt(2) * p + counts(v) + 1)
+        p += counts(v); r
+      }.toMap
+    }
+    val rx = rank2Map(rows.map(_._1).toSeq)
+    val ry = rank2Map(rows.map(_._2).toSeq)
+    val n = BigInt(rows.length)
+    val xs = rows.map(r => rx(r._1)); val ys = rows.map(r => ry(r._2))
+    val sx = xs.sum; val sy = ys.sum
+    val sxy = rows.map(r => rx(r._1) * ry(r._2)).sum
+    val sxx = xs.map(x => x * x).sum; val syy = ys.map(y => y * y).sum
+    val rho = round6((n * sxy - sx * sy).toDouble
+      / math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble))
+    val row = RankOps.statsSpearman.fn(spark, sf()).collect().head
+    assert(row.getLong(0) == rows.length.toLong)
+    assert(row.getDouble(1) == rho)
+    assert(rho >= -1.0 && rho <= 1.0)
+  }
+
+  test("b10_hll_merge: merged per-nation sketches equal the global sketch, inside error bound") {
+    val row = RankOps.hllMerge.fn(spark, sf()).collect().head
+    assert(row.getBoolean(3), "sketch union must equal the single-pass sketch (associativity)")
+    assert(row.getBoolean(4), s"estimate ${row.getLong(1)} outside 5% of exact ${row.getLong(0)}")
+  }
 }
