@@ -317,6 +317,43 @@ object RankOps {
         <= col("n_exact").cast("double") * lit(0.05)).as("rel_err_ok"))
   }
 
+  /** Top-3 orders per market segment through the CUSTOM TopKPerKey
+    * operator (graft.plans — custom LogicalPlan + SparkStrategy +
+    * physical partial/final Exec pair registered via
+    * experimental.extraStrategies): the SURVEY §4 tier-(c) exercise.
+    * Same answer as `row_number() OVER (...) <= 3` — the oracle IS that
+    * window query — but the plan keeps an O(K) buffer per key with a
+    * map-side partial, shuffles ≤ K rows per key per partition, and
+    * never sorts a whole partition (TopKPerKeySpec pins the plan
+    * shape: two Execs around one Exchange, no SortExec beneath them).
+    * Total order (cents DESC, o_orderkey ASC) — exact integers.
+    */
+  val topkPerKey: Q = Q(
+    "topk_per_key",
+    """WITH o AS (
+      |  SELECT c_mktsegment AS seg, o_orderkey,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM customer JOIN orders ON c_custkey = o_custkey),
+      |r AS (
+      |  SELECT seg, o_orderkey, cents,
+      |         row_number() OVER (PARTITION BY seg
+      |                            ORDER BY cents DESC, o_orderkey ASC) AS rn
+      |  FROM o)
+      |SELECT seg, o_orderkey, CAST(cents AS DOUBLE) / 100.0 AS val
+      |FROM r WHERE rn <= 3
+      |ORDER BY seg NULLS FIRST, val DESC, o_orderkey ASC""".stripMargin
+  ) { (s, d) =>
+    val o = T.customer(s, d).select(col("c_custkey"), col("c_mktsegment").as("seg"))
+      .join(T.orders(s, d).select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("seg"), col("o_orderkey"),
+        (T.dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+    graft.plans.TopKPerKey(o, Seq("seg"), "cents", "o_orderkey", 3)
+      .select(col("seg"), col("o_orderkey"),
+        (dbl(col("cents")) / lit(100.0)).as("val"))
+      .orderBy(col("seg").asc_nulls_first, col("val").desc, col("o_orderkey").asc)
+  }
+
   val all: Seq[Q] = Seq(statsMannWhitney, tsTheilSen, tsDownsampleLttb,
-    statsSpearman, hllMerge)
+    statsSpearman, hllMerge, topkPerKey)
 }
