@@ -23,5 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_vec_ssq"),
       new ExpressionInfo(classOf[FloatVecSsq].getName, "graft_vec_ssq"),
       (exprs: Seq[Expression]) => FloatVecSsq(exprs.head)))
+    // the custom whole-operator surface (SURVEY §4 tier (c)): the
+    // TopKPerKey planner strategy + its column-pruning optimizer rule
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.TopKColumnPruning)
   }
 }

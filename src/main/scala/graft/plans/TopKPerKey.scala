@@ -105,6 +105,35 @@ case class TopKPerKeyExec(
   }
 }
 
+/** Custom optimizer Rule (the §4 tier-(c) `Rule[LogicalPlan]` leg):
+  * COLUMN PRUNING THROUGH TopKPerKeyPlan. The node's output mirrors
+  * its child, so Catalyst's own ColumnPruning — which only knows
+  * built-in nodes — cannot push a projection below it: without this
+  * rule, `TopKPerKey(wide_df, ...).select(two_cols)` scans every
+  * column of the wide table. The rule rewrites
+  * `Project(p, TopKPerKey(child))` → `Project(p, TopKPerKey(
+  * Project(needed, child)))` where needed = p's references ∪ the
+  * operator's own key/ord/tiebreak references, firing only when that
+  * set is strictly smaller than the child's output (the no-op guard
+  * that keeps the rule from looping). The pruning then cascades into
+  * the parquet scan's ReadSchema (pinned in TopKPerKeySpec).
+  */
+object TopKColumnPruning
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(exprs, t: TopKPerKeyPlan) =>
+      val needed = AttributeSet(exprs.flatMap(_.references)) ++
+        AttributeSet((t.keys :+ t.ord :+ t.tiebreak).flatMap(_.references))
+      if (needed.size < t.child.outputSet.size) {
+        val kept = t.child.output.filter(needed.contains)
+        Project(exprs, t.copy(child = Project(kept, t.child)))
+      } else p
+  }
+}
+
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case t: TopKPerKeyPlan =>
@@ -140,6 +169,10 @@ object TopKPerKey {
     if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    }
+    if (!spark.experimental.extraOptimizations.contains(TopKColumnPruning)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TopKColumnPruning
     }
     val analyzed = df.queryExecution.analyzed
     def attr(n: String): Attribute = analyzed.output

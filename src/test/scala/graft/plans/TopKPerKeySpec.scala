@@ -77,6 +77,23 @@ class TopKPerKeySpec extends SparkSpec {
     assert(got.filter(_._1 == "cold").map(_._2) == Seq(50004L, 50003L, 50002L))
   }
 
+  test("TopKColumnPruning pushes pruning through the custom node into the parquet scan") {
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet") // 16-column wide table
+    val q = TopKPerKey(li, Seq("l_suppkey"), "l_partkey", "l_orderkey", 2)
+      .select(col("l_suppkey"), col("l_partkey"))
+    q.collect()
+    val scans = collectExec(q.queryExecution.executedPlan)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    val readCols = scans.head.requiredSchema.fieldNames.toSet
+    assert(readCols == Set("l_suppkey", "l_partkey", "l_orderkey"),
+      s"scan must read ONLY the needed columns, got $readCols")
+    // and the result is still the window answer
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_partkey").desc, col("l_orderkey").asc)
+    val exp = li.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2).count()
+    assert(q.count() == exp)
+  }
+
   test("empty input yields empty output") {
     val empty = Seq.empty[(String, Long, Long)].toDF("k", "id", "v")
     assert(TopKPerKey(empty, Seq("k"), "v", "id", 5).collect().isEmpty)
