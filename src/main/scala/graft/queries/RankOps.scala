@@ -354,6 +354,55 @@ object RankOps {
       .orderBy(col("seg").asc_nulls_first, col("val").desc, col("o_orderkey").asc)
   }
 
+  /** Forecast-evaluation metrics for the naive seasonal baseline
+    * ŷ_t = y_{t−24h} on the hourly event-count series: WAPE
+    * (Σ|y−ŷ|/Σy), MAE and mean bias — the backtest scoreboard every
+    * forecasting pipeline runs, and the benchmark any model must beat.
+    * ALL metrics are ratios of exact BIGINT sums (|y−ŷ| and y−ŷ of
+    * integer counts) — no corpus float sum anywhere; one division
+    * each, token-mirrored, 6-dp round. The lag join is an equi-join on
+    * epoch-micros (+24·3600s) over the calendar-bounded hourly
+    * aggregate (the ts_acf shape, fixed lag).
+    */
+  val tsForecastEval: Q = Q(
+    "ts_forecast_eval",
+    """WITH h AS (
+      |  SELECT epoch_us(date_trunc('hour', ts)) AS us,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |p AS (
+      |  SELECT a.n AS yhat, b.n AS y
+      |  FROM h a JOIN h b ON b.us = a.us + 86400000000),
+      |agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS m,
+      |         CAST(sum(abs(y - yhat)) AS BIGINT) AS sad,
+      |         CAST(sum(y - yhat) AS BIGINT) AS sdiff,
+      |         CAST(sum(y) AS BIGINT) AS sy
+      |  FROM p)
+      |SELECT m,
+      |       round(CAST(sad AS DOUBLE) / CAST(sy AS DOUBLE), 6) AS wape,
+      |       round(CAST(sad AS DOUBLE) / CAST(m AS DOUBLE), 6) AS mae,
+      |       round(CAST(sdiff AS DOUBLE) / CAST(m AS DOUBLE), 6) AS bias
+      |FROM agg""".stripMargin
+  ) { (s, d) =>
+    val h = T.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("hr")).as("us"), col("n"))
+    val a = h.select(col("us").as("usa"), col("n").as("yhat"))
+    val p = a.join(h.select(col("us").as("usb"), col("n").as("y")),
+      col("usb") === col("usa") + lit(86400000000L))
+    val agg = p.agg(
+      count(lit(1)).as("m"),
+      sum(abs(col("y") - col("yhat"))).cast("long").as("sad"),
+      sum(col("y") - col("yhat")).cast("long").as("sdiff"),
+      sum(col("y")).cast("long").as("sy"))
+    agg.select(col("m"),
+      round(dbl(col("sad")) / dbl(col("sy")), 6).as("wape"),
+      round(dbl(col("sad")) / dbl(col("m")), 6).as("mae"),
+      round(dbl(col("sdiff")) / dbl(col("m")), 6).as("bias"))
+  }
+
   val all: Seq[Q] = Seq(statsMannWhitney, tsTheilSen, tsDownsampleLttb,
-    statsSpearman, hllMerge, topkPerKey)
+    statsSpearman, hllMerge, topkPerKey, tsForecastEval)
 }

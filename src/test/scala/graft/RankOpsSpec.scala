@@ -129,6 +129,23 @@ class RankOpsSpec extends SparkSpec {
     assert(rho >= -1.0 && rho <= 1.0)
   }
 
+  test("ts_forecast_eval matches a driver-side exact-integer recompute") {
+    val counts = hourCounts
+    val pairs = counts.toSeq.flatMap { case (h, yhat) =>
+      counts.get(h + 24).map(y => (y, yhat))
+    }
+    val m = pairs.size.toLong
+    val sad = pairs.map(p => math.abs(p._1 - p._2)).sum
+    val sdiff = pairs.map(p => p._1 - p._2).sum
+    val sy = pairs.map(_._1).sum
+    val row = RankOps.tsForecastEval.fn(spark, sf()).collect().head
+    assert(row.getLong(0) == m)
+    assert(row.getDouble(1) == round6(sad.toDouble / sy.toDouble))
+    assert(row.getDouble(2) == round6(sad.toDouble / m.toDouble))
+    assert(row.getDouble(3) == round6(sdiff.toDouble / m.toDouble))
+    assert(row.getDouble(1) > 0.0, "naive forecast must have nonzero error on real data")
+  }
+
   test("b10_hll_merge: merged per-nation sketches equal the global sketch, inside error bound") {
     val row = RankOps.hllMerge.fn(spark, sf()).collect().head
     assert(row.getBoolean(3), "sketch union must equal the single-pass sketch (associativity)")

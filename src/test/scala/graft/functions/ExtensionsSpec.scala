@@ -25,6 +25,19 @@ class ExtensionsSpec extends SparkSpec {
           |""".stripMargin).collect().head
       assert(row.getDouble(0) == 11.0)
       assert(row.getDouble(1) == 25.0)
+      // the injected planner strategy must plan the custom TopK node in
+      // this session WITHOUT the experimental-hook registration path
+      import s2.implicits._
+      val df = Seq(("a", 1L, 5L), ("a", 2L, 9L), ("a", 3L, 7L), ("b", 4L, 1L))
+        .toDF("k", "id", "v")
+      val plan = graft.plans.TopKPerKeyPlan(
+        Seq(df.queryExecution.analyzed.output(0)),
+        df.queryExecution.analyzed.output(2),
+        df.queryExecution.analyzed.output(1),
+        1, df.queryExecution.analyzed)
+      val top = org.apache.spark.sql.GraftPlanShims.ofRows(s2, plan).collect()
+        .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      assert(top == Seq(("a", 2L), ("b", 4L)))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
