@@ -46,7 +46,11 @@ class PlanQualitySpec extends SparkSpec {
     "stats_mann_whitney",  // 1-row bin-prefix/totals aggregates crossed into the rank cumulative
     "ts_theil_sen",        // pairwise non-equi self-join over the CALENDAR-BOUNDED daily aggregate + 1-row n_days cross
     "ts_downsample_lttb",  // 1-row min-epoch aggregate crossed into the hour rebase
-    "b10_hll_merge")       // 1-row direct-sketch aggregate crossed against the merged sketch
+    "b10_hll_merge",       // 1-row direct-sketch aggregate crossed against the merged sketch
+    "stats_levene_bf",     // 1-row global-F aggregate crossed into the 5-row per-group profile
+    "stats_jensen_shannon", // 1-row (n0, n1) totals crossed into the ≤5-row priority cells
+    "ts_changepoint_mean", // 1-row (n, Σ, Σ²) totals crossed into the CALENDAR-BOUNDED daily cumulative
+    "graph_assortativity") // 1-row (np, tw) threshold cross in the edge derivation (graph_triangles' shape)
     // dedup_embedding was allowlisted through r2 (all-pairs BNLJ); it is
     // now banded sign-LSH with an equi-join — no cross join to excuse
 
