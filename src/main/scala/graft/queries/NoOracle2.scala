@@ -59,26 +59,30 @@ object NoOracle2 {
     val merged = KllDoublesSketch.newHeapInstance(200)
     parts.foreach(b => merged.merge(KllDoublesSketch.heapify(Memory.wrap(b))))
     val qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
-    val ests = qs.map(q => merged.getQuantile(q, QuantileSearchCriteria.INCLUSIVE))
-    val errBound = merged.getNormalizedRankError(false)
-    // exact ranks of the estimates + exact disc quantiles, one pass each
-    val rankAgg = cents.agg(
-      count(lit(1)).as("n"),
-      ests.zipWithIndex.map { case (e, i) =>
-        sum(when(col("cents") <= lit(e.toLong), 1L).otherwise(0L)).as(s"le$i")
-      }: _*).collect().head
-    val n = rankAgg.getLong(0)
-    val exactCols = qs.zipWithIndex.map { case (q, i) =>
-      expr(s"CAST(percentile_disc($q) WITHIN GROUP (ORDER BY cents) AS BIGINT)")
-        .as(s"ex$i")
-    }
-    val exact = cents.agg(exactCols.head, exactCols.tail: _*).collect().head
-    val rows = qs.zipWithIndex.map { case (q, i) =>
-      val est = ests(i).toLong
-      val trueRank = rankAgg.getLong(i + 1).toDouble / n.toDouble
-      (q, n, exact.getLong(i), est,
-        math.abs(trueRank - q),
-        math.abs(trueRank - q) <= 3.0 * errBound)
+    // empty-corpus survival: an empty KLL sketch has no quantiles
+    val rows = if (merged.isEmpty) Seq.empty[(Double, Long, Long, Long, Double, Boolean)]
+    else {
+      val ests = qs.map(q => merged.getQuantile(q, QuantileSearchCriteria.INCLUSIVE))
+      val errBound = merged.getNormalizedRankError(false)
+      // exact ranks of the estimates + exact disc quantiles, one pass each
+      val rankAgg = cents.agg(
+        count(lit(1)).as("n"),
+        ests.zipWithIndex.map { case (e, i) =>
+          sum(when(col("cents") <= lit(e.toLong), 1L).otherwise(0L)).as(s"le$i")
+        }: _*).collect().head
+      val n = rankAgg.getLong(0)
+      val exactCols = qs.zipWithIndex.map { case (q, i) =>
+        expr(s"CAST(percentile_disc($q) WITHIN GROUP (ORDER BY cents) AS BIGINT)")
+          .as(s"ex$i")
+      }
+      val exact = cents.agg(exactCols.head, exactCols.tail: _*).collect().head
+      qs.zipWithIndex.map { case (q, i) =>
+        val est = ests(i).toLong
+        val trueRank = rankAgg.getLong(i + 1).toDouble / n.toDouble
+        (q, n, exact.getLong(i), est,
+          math.abs(trueRank - q),
+          math.abs(trueRank - q) <= 3.0 * errBound)
+      }
     }
     s.createDataFrame(rows).toDF("q", "n", "exact_cents", "est_cents",
       "rank_err", "within_bound")
@@ -220,8 +224,8 @@ object NoOracle2 {
     val cmp = merged.as("m").join(full.as("f"), Seq("o_custkey"), "full_outer")
       .select(
         count(lit(1)).as("keys"),
-        sum(when(col("m.n") === col("f.n") && col("m.s") === col("f.s"), 0L)
-          .otherwise(1L)).cast("long").as("mismatches"))
+        coalesce(sum(when(col("m.n") === col("f.n") && col("m.s") === col("f.s"), 0L)
+          .otherwise(1L)), lit(0L)).cast("long").as("mismatches"))
       .collect().head
     val row = (cmp.getLong(0), cmp.getLong(1), cmp.getLong(1) == 0L)
     s.createDataFrame(Seq(row)).toDF("keys", "mismatches", "ok")

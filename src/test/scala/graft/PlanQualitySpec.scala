@@ -51,7 +51,8 @@ class PlanQualitySpec extends SparkSpec {
     "stats_jensen_shannon", // 1-row (n0, n1) totals crossed into the ≤5-row priority cells
     "ts_changepoint_mean", // 1-row (n, Σ, Σ²) totals crossed into the CALENDAR-BOUNDED daily cumulative
     "graph_assortativity", // 1-row (np, tw) threshold cross in the edge derivation (graph_triangles' shape)
-    "stats_cond_entropy")  // 1-row corpus-total aggregate crossed into the ≤25-cell entropy terms
+    "stats_cond_entropy",  // 1-row corpus-total aggregate crossed into the ≤25-cell entropy terms
+    "text_burstiness")     // 1-row doc-count aggregate crossed into the 20-row top-word table
     // dedup_embedding was allowlisted through r2 (all-pairs BNLJ); it is
     // now banded sign-LSH with an equi-join — no cross join to excuse
 
