@@ -84,7 +84,7 @@ object CorpusOps2 {
       |  FROM pt)
       |SELECT k,
       |       round((CAST(k AS DOUBLE) * sxy - sx * sy)
-      |             / (CAST(k AS DOUBLE) * sxx - sx * sx), 6) AS heaps_b,
+      |             / (CAST(k AS DOUBLE) * sxx - sx * sx), 6) + 0.0 AS heaps_b,
       |       round(exp((sy - (CAST(k AS DOUBLE) * sxy - sx * sy)
       |                       / (CAST(k AS DOUBLE) * sxx - sx * sx) * sx)
       |                 / CAST(k AS DOUBLE)), 6) AS heaps_a
@@ -103,8 +103,10 @@ object CorpusOps2 {
       sum(lx * ly).as("sxy"), sum(lx * lx).as("sxx"))
     val b = (dbl(col("k")) * col("sxy") - col("sx") * col("sy")) /
       (dbl(col("k")) * col("sxx") - col("sx") * col("sx"))
+    // + 0.0 collapses IEEE −0.0 → +0.0 (a saturated-vocabulary corpus
+    // rounds the slope to zero and the engines disagree on its sign)
     ols.select(col("k"),
-      round(b, 6).as("heaps_b"),
+      (round(b, 6) + lit(0.0)).as("heaps_b"),
       round(exp((col("sy") - b * col("sx")) / dbl(col("k"))), 6).as("heaps_a"))
   }
 
