@@ -52,7 +52,9 @@ class PlanQualitySpec extends SparkSpec {
     "ts_changepoint_mean", // 1-row (n, Σ, Σ²) totals crossed into the CALENDAR-BOUNDED daily cumulative
     "graph_assortativity", // 1-row (np, tw) threshold cross in the edge derivation (graph_triangles' shape)
     "stats_cond_entropy",  // 1-row corpus-total aggregate crossed into the ≤25-cell entropy terms
-    "text_burstiness")     // 1-row doc-count aggregate crossed into the 20-row top-word table
+    "text_burstiness",     // 1-row doc-count aggregate crossed into the 20-row top-word table
+    "dq_referential")      // 1-row orphan-count aggregate crossed into each FK edge's 1-row child count
+    // join_null_safe needs no excuse: EqualNullSafe is a hash-joinable key (BroadcastHashJoin verified)
     // dedup_embedding was allowlisted through r2 (all-pairs BNLJ); it is
     // now banded sign-LSH with an equi-join — no cross join to excuse
 
