@@ -140,12 +140,15 @@ object MixedOps2 {
       .sortWithinPartitions(col("o_orderkey"))
       .write.mode("overwrite").parquet(s"$run/sorted")
     o.repartition(8).write.mode("overwrite").parquet(s"$run/shuffled")
-    // data-derived narrow key range (~5% of the keyspace, second decile)
+    // data-derived narrow key range (~5% of the keyspace, second decile);
+    // empty-corpus survival: min/max are NULL on zero rows
     val mm = o.agg(min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"))
       .collect().head
-    val span = mm.getLong(1) - mm.getLong(0)
-    val lo = mm.getLong(0) + span / 5
-    val hi = lo + math.max(span / 20, 1L)
+    val (lo, hi) = if (mm.isNullAt(0)) (0L, 1L) else {
+      val span = mm.getLong(1) - mm.getLong(0)
+      val l = mm.getLong(0) + span / 5
+      (l, l + math.max(span / 20, 1L))
+    }
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     def scanRows(p: SparkPlan): Long = p match {
