@@ -50,16 +50,21 @@ object MixedOps2 {
       |SELECT label_a, label_b, round(sqrt(sum(diff * diff)), 6) AS dist_q
       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   ) { (s, d) =>
-    val q = T.embeddings(s, d)
+    // explode the RAW floats first, quantize scalar-wise after the
+    // generator: a quantizing transform() lambda would get max_abs
+    // (itself an array_max lambda) INLINED per element by
+    // CollapseProject — O(d²) work per vector and no codegen (the r2
+    // HOF-hoisting trap; measured 68.9 s → 1.9 s at sf10 for the
+    // centroid aggregate). The Generate boundary pins max_abs to one
+    // evaluation per vector.
+    val c = T.embeddings(s, d)
       .withColumn("max_abs",
         expr("CAST(array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE)"))
-      .select(col("label"), expr(
-        """transform(embedding,
-          |          x -> CAST(round(CAST(x AS DOUBLE) * 127.0
-          |                          / nullif(max_abs, CAST(0.0 AS DOUBLE))) AS BIGINT))"""
-          .stripMargin).as("qa"))
-    val c = q.select(col("label"), posexplode(col("qa")).as(Seq("p", "qv")))
-      .groupBy(col("label"), (col("p") + 1).as("dim"))
+      .select(col("label"), col("max_abs"), posexplode(col("embedding")).as(Seq("p", "x")))
+      .select(col("label"), (col("p") + 1).as("dim"),
+        expr("""CAST(round(CAST(x AS DOUBLE) * 127.0
+                / nullif(max_abs, CAST(0.0 AS DOUBLE))) AS BIGINT)""").as("qv"))
+      .groupBy(col("label"), col("dim"))
       .agg(count(lit(1)).as("n"), sum(col("qv")).cast("long").as("s"))
     val a = c.select(col("label").as("label_a"), col("dim"),
       (dbl(col("s")) / dbl(col("n"))).as("ma"))
