@@ -56,7 +56,9 @@ class PlanQualitySpec extends SparkSpec {
     "dq_referential",      // 1-row orphan-count aggregate crossed into each FK edge's 1-row child count
     "mixture_temperature", // 1-row total + 1-row normalizer aggregates crossed into the |langs|-row share table
     "ts_spectral_peak",    // 4-row period table + 1-row totals crossed into the CALENDAR-BOUNDED hourly aggregate
-    "ts_heatmap_hour_dow") // 1-row total crossed into the 7×24-bounded cell table
+    "ts_heatmap_hour_dow", // 1-row total crossed into the 7×24-bounded cell table
+    "ts_max_deficit",      // 1-row (n, Σ) totals crossed into the CALENDAR-BOUNDED daily cumulative
+    "graph_reciprocity")   // 1-row threshold + 1-row counts crossed around the |nations|²-bounded edge list
     // join_null_safe needs no excuse: EqualNullSafe is a hash-joinable key (BroadcastHashJoin verified)
     // dedup_embedding was allowlisted through r2 (all-pairs BNLJ); it is
     // now banded sign-LSH with an equi-join — no cross join to excuse
