@@ -222,6 +222,15 @@ object LlmOpsExt {
       |GROUP BY actual, predicted
       |ORDER BY actual NULLS FIRST, predicted NULLS FIRST""".stripMargin
   ) { (s, d) =>
+    langidConfusion(s, d)
+      .orderBy(col("actual").asc_nulls_first, col("predicted").asc_nulls_first)
+  }
+
+  /** Shared trigram-profile language-ID pipeline → confusion counts
+    * (actual, predicted, n_docs); consumed by text_langid (the matrix
+    * itself) and eval_langid_kappa (the agreement scalars). */
+  private def langidConfusion(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // ONE trigram-extraction pass, materialized at the EXPLODED
     // granularity — (doc_id, lang, g) rows store compactly (~20 MB at
@@ -268,7 +277,74 @@ object LlmOpsExt {
       .agg(min_by(col("cand"), struct(-col("n"), col("cand"))).as("predicted"))
       .groupBy(col("lang").as("actual"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
-      .orderBy(col("actual").asc_nulls_first, col("predicted").asc_nulls_first)
+  }
+
+  /** Accuracy + Cohen's κ of the trigram language-ID against the true
+    * labels — the chance-corrected agreement scalar every classifier
+    * eval reports (accuracy alone flatters a skewed label mix). Built
+    * on the SAME confusion pipeline as text_langid; p_o and p_e are
+    * exact-integer ratios (diag/N and Σ row_k·col_k / N²), κ one
+    * mirrored rounded formula. Scale: everything after the langid
+    * pipeline runs on the ≤|langs|² confusion aggregate.
+    */
+  val evalLangidKappa: Q = Q(
+    "eval_langid_kappa",
+    """WITH tg AS (
+      |  SELECT doc_id, lang, unnest(list_distinct(list_transform(
+      |           generate_series(1, greatest(length(lower(text)) - 2, 0)),
+      |           i -> substring(lower(text), i, 3)))) AS g
+      |  FROM documents
+      |), profile AS (
+      |  SELECT lang, g FROM (
+      |    SELECT lang, g, row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, g ASC) AS rn
+      |    FROM tg GROUP BY lang, g
+      |  ) WHERE rn <= 20
+      |), overlap AS (
+      |  SELECT tg.doc_id, tg.lang AS actual, profile.lang AS cand, count(*) AS n
+      |  FROM tg JOIN profile ON tg.g = profile.g
+      |  GROUP BY 1, 2, 3
+      |), pred AS (
+      |  SELECT doc_id, actual, cand AS predicted FROM (
+      |    SELECT doc_id, actual, cand,
+      |           row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, cand ASC) AS rn
+      |    FROM overlap
+      |  ) WHERE rn = 1
+      |), cm AS (
+      |  SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+      |  FROM pred GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS nn,
+      |         CAST(sum(CASE WHEN actual = predicted THEN n ELSE 0 END) AS BIGINT)
+      |           AS diag
+      |  FROM cm
+      |), marg AS (
+      |  SELECT CAST(sum(r.rs * c.cs) AS BIGINT) AS pesum
+      |  FROM (SELECT actual, CAST(sum(n) AS BIGINT) AS rs FROM cm GROUP BY 1) r
+      |  JOIN (SELECT predicted, CAST(sum(n) AS BIGINT) AS cs FROM cm GROUP BY 1) c
+      |    ON r.actual = c.predicted)
+      |SELECT nn, diag,
+      |       round(CAST(diag AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS accuracy,
+      |       round((CAST(diag AS DOUBLE) / CAST(nn AS DOUBLE)
+      |              - CAST(pesum AS DOUBLE) / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)))
+      |             / (1.0 - CAST(pesum AS DOUBLE)
+      |                      / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))), 6) AS kappa
+      |FROM tot CROSS JOIN marg""".stripMargin
+  ) { (s, d) =>
+    val cm = langidConfusion(s, d)
+    val tot = cm.agg(sum(col("n_docs")).cast("long").as("nn"),
+      sum(when(col("actual") === col("predicted"), col("n_docs")).otherwise(0L))
+        .cast("long").as("diag"))
+    val r = cm.groupBy(col("actual")).agg(sum(col("n_docs")).cast("long").as("rs"))
+    val c = cm.groupBy(col("predicted")).agg(sum(col("n_docs")).cast("long").as("cs"))
+    val marg = r.join(broadcast(c), col("actual") === col("predicted"))
+      .agg(sum(col("rs") * col("cs")).cast("long").as("pesum"))
+    def dbl(x: org.apache.spark.sql.Column) = x.cast("double")
+    val po = dbl(col("diag")) / dbl(col("nn"))
+    val pe = dbl(col("pesum")) / (dbl(col("nn")) * dbl(col("nn")))
+    tot.crossJoin(broadcast(marg))
+      .select(col("nn"), col("diag"),
+        round(po, 6).as("accuracy"),
+        round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
   }
 
   /** Heuristic quality scores: char/token counts, mean token length,
@@ -438,5 +514,6 @@ object LlmOpsExt {
 
   val all: Seq[Q] = Seq(
     dedupNgramJaccard, dedupEmbedding, textLangid, textQuality,
-    textTokens, textFingerprint, dedupFuzzyLevenshtein, dedupContainment)
+    textTokens, textFingerprint, dedupFuzzyLevenshtein, dedupContainment,
+    evalLangidKappa)
 }

@@ -48,4 +48,21 @@ class Curate3Spec extends SparkSpec {
     assert(byRegime("explicit_hint") == "broadcast_hash")
     assert(rows.map(_._3).distinct.length == 1, "every regime must join every row")
   }
+
+  test("eval_langid_kappa is consistent with text_langid's confusion matrix") {
+    val cm = graft.queries.LlmOpsExt.textLangid.fn(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nn = cm.map(_._3).sum
+    val diag = cm.filter(t => t._1 == t._2).map(_._3).sum
+    val rows = cm.groupBy(_._1).map { case (k, g) => k -> g.map(_._3).sum }
+    val cols = cm.groupBy(_._2).map { case (k, g) => k -> g.map(_._3).sum }
+    val pesum = rows.collect { case (k, rs) if cols.contains(k) => rs * cols(k) }.sum
+    val po = diag.toDouble / nn.toDouble
+    val pe = pesum.toDouble / (nn.toDouble * nn.toDouble)
+    val row = graft.queries.LlmOpsExt.evalLangidKappa.fn(spark, sf()).collect().head
+    assert(row.getLong(0) == nn && row.getLong(1) == diag)
+    assert(math.abs(row.getDouble(2) - po) <= 1e-6)
+    assert(math.abs(row.getDouble(3) - (po - pe) / (1.0 - pe)) <= 1e-6)
+    assert(row.getDouble(3) > 0.0, "langid must beat chance on this corpus")
+  }
 }

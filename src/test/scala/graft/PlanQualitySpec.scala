@@ -58,6 +58,7 @@ class PlanQualitySpec extends SparkSpec {
     "ts_spectral_peak",    // 4-row period table + 1-row totals crossed into the CALENDAR-BOUNDED hourly aggregate
     "ts_heatmap_hour_dow", // 1-row total crossed into the 7×24-bounded cell table
     "ts_max_deficit",      // 1-row (n, Σ) totals crossed into the CALENDAR-BOUNDED daily cumulative
+    "eval_langid_kappa",   // 1-row chance-agreement aggregate crossed into the 1-row (n, diag) totals (langid pipeline inside)
     "graph_reciprocity")   // 1-row threshold + 1-row counts crossed around the |nations|²-bounded edge list
     // join_null_safe needs no excuse: EqualNullSafe is a hash-joinable key (BroadcastHashJoin verified)
     // dedup_embedding was allowlisted through r2 (all-pairs BNLJ); it is
