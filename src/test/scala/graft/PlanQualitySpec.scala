@@ -59,7 +59,11 @@ class PlanQualitySpec extends SparkSpec {
     "ts_heatmap_hour_dow", // 1-row total crossed into the 7×24-bounded cell table
     "ts_max_deficit",      // 1-row (n, Σ) totals crossed into the CALENDAR-BOUNDED daily cumulative
     "eval_langid_kappa",   // 1-row chance-agreement aggregate crossed into the 1-row (n, diag) totals (langid pipeline inside)
-    "graph_reciprocity")   // 1-row threshold + 1-row counts crossed around the |nations|²-bounded edge list
+    "graph_reciprocity",   // 1-row threshold + 1-row counts crossed around the |nations|²-bounded edge list
+    "stats_kendall_tau",   // pairwise non-equi self-join over the CALENDAR-BOUNDED daily aggregate + 1-row n cross (ts_theil_sen's shape)
+    "stats_qq",            // two 1-row decile-grid aggregates crossed (1×1)
+    "ts_ccf",              // 7-row lag table crossed into the calendar-bounded hourly aggregates (ts_acf's shape)
+    "graph_closeness")     // 1-row (np, tw) threshold cross in the edge derivation (graph_triangles' shape)
     // join_null_safe needs no excuse: EqualNullSafe is a hash-joinable key (BroadcastHashJoin verified)
     // dedup_embedding was allowlisted through r2 (all-pairs BNLJ); it is
     // now banded sign-LSH with an equi-join — no cross join to excuse
