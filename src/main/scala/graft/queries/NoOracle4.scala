@@ -27,11 +27,19 @@ object NoOracle4 {
     import s.implicits._
     def nodes(df: org.apache.spark.sql.DataFrame): Long =
       df.queryExecution.analyzed.collect { case p => p }.size.toLong
+    // checkpoint the |priorities|-bounded seed FIRST: the doubling below
+    // multiplies executions of its lineage 2^iters times — over raw
+    // parquet that would re-scan the corpus 64×, which is exactly the
+    // pathology this row demonstrates on the TREE without paying it on
+    // the DATA (the before/after node counts are unaffected)
     val seed = T.orders(s, d)
       .groupBy(col("o_orderpriority").as("pri"))
       .agg(sum(col("o_custkey")).cast("long").as("v"))
+      .localCheckpoint()
     var df = seed
-    val iters = 6
+    // 4 rounds ⇒ 2⁴ leaf scans / ~90 analyzed nodes — contrast is
+    // already 2 orders of magnitude; more rounds only buys bench cost
+    val iters = 4
     (1 to iters).foreach { _ =>
       df = df.unionByName(df.select(col("pri"), (col("v") * 0).as("v")))
         .groupBy(col("pri")).agg(sum(col("v")).cast("long").as("v"))
