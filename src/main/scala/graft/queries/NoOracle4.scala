@@ -119,5 +119,47 @@ object NoOracle4 {
         "results_equal", "ok")
   }
 
-  def all: Seq[Q] = Seq(checkpointCut, dynamicPartitionPruning)
+  /** B31 — AQE partition coalescing measured: a low-volume aggregate
+    * shuffles under the session's static `spark.sql.shuffle.partitions`
+    * fan-out, and AQE's OptimizeShuffleReads collapses the tiny
+    * post-shuffle partitions into a handful (read off the
+    * AQEShuffleReadExec's partitionSpecs — far fewer than the static
+    * setting), with results identical to the AQE-off run. This is the
+    * small-task-storm guard at 100 TB: a static fan-out tuned for the
+    * biggest stage would otherwise launch thousands of near-empty
+    * tasks in every small stage of the same job.
+    */
+  val aqeCoalesce: Q = Q.noOracle("b31_aqe_coalesce") { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, AQEShuffleReadExec, QueryStageExec}
+    def shuffleReadParts(p: SparkPlan): Seq[Int] = p match {
+      case a: AdaptiveSparkPlanExec => shuffleReadParts(a.executedPlan)
+      case qe: QueryStageExec       => shuffleReadParts(qe.plan)
+      case r: AQEShuffleReadExec =>
+        r.partitionSpecs.size +: r.children.flatMap(shuffleReadParts)
+      case other => other.children.flatMap(shuffleReadParts)
+    }
+    val staticParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    def run(): (Seq[(String, Long)], Seq[Int], Boolean) = {
+      val df = T.orders(s, d)
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      val res = df.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+      val plan = df.queryExecution.executedPlan
+      (res, shuffleReadParts(plan), plan.toString().contains("coalesced"))
+    }
+    val aqeConf = "spark.sql.adaptive.enabled"
+    val prev = s.conf.get(aqeConf)
+    val (resOn, partsOn, coalescedOn) =
+      try { s.conf.set(aqeConf, "true"); run() } finally s.conf.set(aqeConf, prev)
+    val (resOff, _, _) =
+      try { s.conf.set(aqeConf, "false"); run() } finally s.conf.set(aqeConf, prev)
+    val minParts = if (partsOn.isEmpty) -1L else partsOn.min.toLong
+    Seq((staticParts.toLong, minParts, coalescedOn, resOn == resOff,
+      coalescedOn && minParts > 0 && minParts < staticParts && resOn == resOff))
+      .toDF("static_partitions", "aqe_read_partitions", "plan_coalesced",
+        "results_equal", "ok")
+  }
+
+  def all: Seq[Q] = Seq(checkpointCut, dynamicPartitionPruning, aqeCoalesce)
 }
