@@ -111,7 +111,13 @@ object FeatureOps2 {
         / (col("n").cast("double") * col("n").cast("double")), 6).as("c"))
     // 64×64 bounded at any corpus scale — driver-side power iteration
     // on the collected aggregate (ivf-centroid / pagerank precedent)
-    val upper = cov.collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2)))
+    val upper = cov.collect()
+      .filter(!_.isNullAt(2)) // n=0 cells divide to NULL on an empty corpus
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2)))
+    if (upper.isEmpty) {
+      Seq.empty[(Long, Double, Double, Double)]
+        .toDF("dim", "loading", "eigval", "var_share")
+    } else {
     val c = Array.ofDim[Double](65, 65)
     upper.foreach { case (i, j, v) => c(i)(j) = v; c(j)(i) = v }
     var v = Array.fill(65)(0.125); v(0) = 0.0
@@ -135,6 +141,7 @@ object FeatureOps2 {
     (1 to 64).map(i => (i.toLong, r6(u(i)), r6(lambda), r6(lambda / trace)))
       .toDF("dim", "loading", "eigval", "var_share")
       .orderBy(col("dim"))
+    }
   }
 
   def all: Seq[Q] = Seq(embeddingPcaTop)

@@ -39,6 +39,13 @@ object NoOracle3 {
     val history = orders.filter(col("yr") < 1996).select(col("o_custkey")).distinct()
     val batch = orders.filter(col("yr") >= 1996).select(col("o_custkey")).distinct()
     val histN = history.count()
+    // empty-corpus survival: an empty Bloom filter has no bit buffer —
+    // emit the degenerate row instead of probing it
+    if (histN == 0L) {
+      Seq((0L, batch.count(), 0L, 0L, 0L, 0.0, true))
+        .toDF("history_n", "batch_n", "truly_new", "false_neg", "false_pos",
+          "fp_rate", "ok")
+    } else {
     val bf = history.stat.bloomFilter("o_custkey", math.max(histN, 1L), 0.03)
     val bcBf = s.sparkContext.broadcast(bf)
     val might = udf((k: Long) => bcBf.value.mightContainLong(k))
@@ -67,6 +74,7 @@ object NoOracle3 {
             "fp_rate", "ok")
       } finally probed.unpersist()
     } finally bcBf.destroy()
+    }
   }
 
   /** B28 — columnar cache surface: persist a pruned projection

@@ -81,6 +81,13 @@ object NoOracle4 {
     val fact = T.events(s, d).select(
       expr("unix_micros(date_trunc('day', ts)) div 86400000000").as("dx"),
       col("event_id"), col("user_id"))
+    // empty-corpus survival: a zero-partition partitioned write leaves
+    // nothing to infer a schema from on read — emit the degenerate row
+    if (fact.isEmpty) {
+      Seq((0L, 0L, 0L, false, true, true))
+        .toDF("n_rows", "files_read_dpp", "files_read_off", "plan_has_dpp",
+          "results_equal", "ok")
+    } else {
     fact.write.mode("overwrite").partitionBy("dx").parquet(s"$run/fact")
     // dim: one row per day with a NON-partition attribute; the filter
     // selects ~1/7 of the days through the attribute, not through dx
@@ -117,6 +124,7 @@ object NoOracle4 {
       planOn && filesOn < filesOff && nOn == nOff))
       .toDF("n_rows", "files_read_dpp", "files_read_off", "plan_has_dpp",
         "results_equal", "ok")
+    }
   }
 
   /** B31 — AQE partition coalescing measured: a low-volume aggregate

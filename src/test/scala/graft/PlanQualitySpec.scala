@@ -64,7 +64,9 @@ class PlanQualitySpec extends SparkSpec {
     "stats_qq",            // two 1-row decile-grid aggregates crossed (1×1)
     "ts_ccf",              // 7-row lag table crossed into the calendar-bounded hourly aggregates (ts_acf's shape)
     "graph_closeness",     // 1-row (np, tw) threshold cross in the edge derivation (graph_triangles' shape)
-    "embedding_pca_top")   // 2080-row (i≤j) dimension-pair table crossed into the quantized corpus (embedding_cov's shape)
+    "embedding_pca_top",   // 2080-row (i≤j) dimension-pair table crossed into the quantized corpus (embedding_cov's shape)
+    "ts_seasonal_anomaly", // 1-row bounds/median/MAD aggregates crossed into the CALENDAR-BOUNDED hour spine (ts_gapfill_locf's idiom)
+    "b33_graph_mst")       // 1-row (np, tw) threshold cross in the edge derivation (graph_triangles' shape)
     // join_null_safe needs no excuse: EqualNullSafe is a hash-joinable key (BroadcastHashJoin verified)
     // dedup_embedding was allowlisted through r2 (all-pairs BNLJ); it is
     // now banded sign-LSH with an equi-join — no cross join to excuse
