@@ -63,13 +63,17 @@ object TimeSeriesOps4 {
         // sort by day, take the count as double: the fold input array
         "transform(array_sort(collect_list(struct(dx, y))), e -> CAST(e.y AS DOUBLE))")
         .as("ys"))
+      // empty-corpus survival: under ANSI mode get(ys, 0) on an empty array
+      // throws INVALID_ARRAY_INDEX (a 2-point series is the semantic
+      // minimum anyway); get() below is the OOB-null accessor
+      .filter(size(col("ys")) >= 2)
       .select(expr(
         """aggregate(
-          |  slice(ys, 3, size(ys) - 2),
+          |  slice(ys, 3, greatest(size(ys) - 2, 0)),
           |  named_struct('i', CAST(2 AS BIGINT),
-          |               'lvl', 0.5D * ys[1] + 0.5D * (ys[0] + (ys[1] - ys[0])),
-          |               'trd', 0.25D * (0.5D * ys[1] + 0.5D * (ys[0] + (ys[1] - ys[0])) - ys[0])
-          |                      + 0.75D * (ys[1] - ys[0])),
+          |               'lvl', 0.5D * get(ys, 1) + 0.5D * (get(ys, 0) + (get(ys, 1) - get(ys, 0))),
+          |               'trd', 0.25D * (0.5D * get(ys, 1) + 0.5D * (get(ys, 0) + (get(ys, 1) - get(ys, 0))) - get(ys, 0))
+          |                      + 0.75D * (get(ys, 1) - get(ys, 0))),
           |  (acc, y) -> named_struct(
           |     'i', acc.i + CAST(1 AS BIGINT),
           |     'lvl', 0.5D * y + 0.5D * (acc.lvl + acc.trd),
