@@ -137,6 +137,13 @@ object SurfaceOps {
       .pivot("l_linestatus", Seq("F", "O"))
       .agg(sum(T.dec2(col("l_quantity"))).as("sq"),
         count(lit(1)).as("n"))
+      // pivot yields NULL for an empty (returnflag, linestatus) cell —
+      // including the count — while the oracle's sum(CASE ... ELSE 0 END)
+      // yields 0; coalesce the count cells so both engines agree for ANY
+      // corpus, not just one that populates all cells (ADVICE r8)
+      .select(col("l_returnflag"), col("F_sq"),
+        coalesce(col("F_n"), lit(0L)).as("F_n"), col("O_sq"),
+        coalesce(col("O_n"), lit(0L)).as("O_n"))
       .orderBy(col("l_returnflag").asc_nulls_first)
   }
 

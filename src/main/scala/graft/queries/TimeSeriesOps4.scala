@@ -53,7 +53,8 @@ object TimeSeriesOps4 {
       |  FROM r JOIN idx d ON d.i = r.i + 1)
       |SELECT i AS n, round(lvl, 6) AS level, round(trd, 6) AS trend,
       |       round(lvl + trd, 6) AS fc_1, round(lvl + 7 * trd, 6) AS fc_7
-      |FROM r WHERE i = (SELECT max(i) FROM r)""".stripMargin
+      |FROM r WHERE i = (SELECT max(i) FROM r)
+      |  AND (SELECT count(*) FROM idx) >= 2""".stripMargin
   ) { (s, d) =>
     val dly = T.events(s, d)
       .groupBy(expr("unix_micros(date_trunc('day', ts)) div 86400000000").as("dx"))

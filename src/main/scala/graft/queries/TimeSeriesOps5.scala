@@ -15,17 +15,21 @@ object TimeSeriesOps5 {
   private def dbl(c: Column): Column = c.cast("double")
 
   /** Seasonal-adjusted MAD anomalies on the hourly series: gapfill the
-    * calendar-bounded hour spine with zeros (so every hour-of-day has
-    * EXACTLY n_days samples — the uniform denominator that makes the
-    * residual integer-exact), subtract the hour-of-day seasonal mean
-    * as the SCALED residual r = y·N − S_hod (no division), then flag
-    * hours with |r − median(r)| > 3·MAD(r). EVERYTHING is exact
-    * integer arithmetic: percentile_disc picks actual residuals, the
-    * 3·MAD threshold is an integer compare, and the top-20 cut orders
-    * by (deviation DESC, hour ASC) — a total order. This catches the
-    * "normal at 3am, anomalous at noon" events ts_anomaly_zscore's
-    * unadjusted score misses. Scale: windows/aggregates over the
-    * CALENDAR-BOUNDED spine (|hours| rows at any corpus scale).
+    * calendar-bounded hour spine with zeros, subtract the hour-of-day
+    * seasonal mean as a SCALED residual (no division), then flag hours
+    * with |r − median(r)| > 3·MAD(r). The spine need NOT span whole
+    * days (ADVICE r8): each hour-of-day has its own sample count
+    * n_hod ∈ {m, m+1}, so the residual is put on one common integer
+    * scale P = lcm(m, m+1 when present): r = y·P − S_hod·(P/n_hod) —
+    * exactly P/n_hod · (the per-hod mean-removed residual), integer-
+    * exact and cross-hod comparable for ANY contiguous spine.
+    * EVERYTHING is exact integer arithmetic: percentile_disc picks
+    * actual residuals, the 3·MAD threshold is an integer compare, and
+    * the top-20 cut orders by (deviation DESC, hour ASC) — a total
+    * order. This catches the "normal at 3am, anomalous at noon" events
+    * ts_anomaly_zscore's unadjusted score misses. Scale: windows/
+    * aggregates over the CALENDAR-BOUNDED spine (|hours| rows at any
+    * corpus scale).
     */
   val tsSeasonalAnomaly: Q = Q(
     "ts_seasonal_anomaly",
@@ -40,11 +44,16 @@ object TimeSeriesOps5 {
       |dense AS (
       |  SELECT s.hx, s.hx % 24 AS hod, coalesce(hr.y, 0) AS y
       |  FROM spine s LEFT JOIN hr ON s.hx = hr.hx),
-      |n AS (SELECT CAST(count(*) // 24 AS BIGINT) AS nd FROM dense),
+      |nh AS (SELECT hod, CAST(count(*) AS BIGINT) AS n_hod FROM dense GROUP BY 1),
+      |p AS (
+      |  SELECT CASE WHEN min(n_hod) = max(n_hod) THEN min(n_hod)
+      |              ELSE min(n_hod) * max(n_hod) END AS p
+      |  FROM nh),
       |seas AS (SELECT hod, CAST(sum(y) AS BIGINT) AS sh FROM dense GROUP BY 1),
       |resid AS (
-      |  SELECT d.hx, d.hod, d.y, d.y * n.nd - seas.sh AS r
-      |  FROM dense d JOIN seas ON d.hod = seas.hod CROSS JOIN n),
+      |  SELECT d.hx, d.hod, d.y, d.y * p.p - seas.sh * (p.p // nh.n_hod) AS r
+      |  FROM dense d JOIN seas ON d.hod = seas.hod
+      |  JOIN nh ON d.hod = nh.hod CROSS JOIN p),
       |md AS (
       |  SELECT CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY r) AS BIGINT) AS med
       |  FROM resid),
@@ -70,11 +79,15 @@ object TimeSeriesOps5 {
     val dense = spine.join(hr, Seq("hx"), "left")
       .select(col("hx"), (col("hx") % 24).as("hod"),
         coalesce(col("y"), lit(0L)).as("y"))
-    val n = dense.agg(expr("count(1) div 24").cast("long").as("nd"))
+    val nh = dense.groupBy(col("hod")).agg(count(lit(1)).cast("long").as("n_hod"))
+    val p = nh.agg(expr(
+      "CASE WHEN min(n_hod) = max(n_hod) THEN min(n_hod) " +
+        "ELSE min(n_hod) * max(n_hod) END").as("p"))
     val seas = dense.groupBy(col("hod")).agg(sum(col("y")).cast("long").as("sh"))
-    val resid = dense.join(broadcast(seas), "hod").crossJoin(broadcast(n))
+    val resid = dense.join(broadcast(seas), "hod").join(broadcast(nh), "hod")
+      .crossJoin(broadcast(p))
       .select(col("hx"), col("hod"), col("y"),
-        (col("y") * col("nd") - col("sh")).as("r"))
+        expr("y * p - sh * (p div n_hod)").as("r"))
     val md = resid.agg(
       expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY r) AS BIGINT)").as("med"))
     val dev = resid.crossJoin(broadcast(md))
