@@ -406,6 +406,50 @@ object Multimodal {
       while (j < dim) { f(j) /= n; j += 1 }
       f
     }
+
+    /** 64-bit perceptual difference hash (dHash) of a BMP payload:
+      * decode, integer-luminance (299·R+587·G+114·B), area-average
+      * onto an 8×8 grid, then bit(8r+c) = 1 iff cell (r,c) is brighter
+      * than its right neighbor (row-cyclic). PURE integer arithmetic —
+      * cells of unequal pixel count (w,h not multiples of 8) compare
+      * via cross-multiplied sums, so the hash is exact for any image
+      * size and identical across JVMs/platforms. Near-duplicate images
+      * differ in few bits; see the banded Hamming join in
+      * [[graft.queries.MultimodalDedup]].
+      */
+    def dHash64(bytes: Array[Byte]): Long = {
+      val (w, h, rgb) = parseBmp(bytes)
+      require(w >= 8 && h >= 8, s"dHash needs >= 8x8, got ${w}x$h")
+      val sum = Array.ofDim[Long](8, 8)
+      val cnt = Array.ofDim[Long](8, 8)
+      var y = 0
+      while (y < h) {
+        val r = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val c = x * 8 / w
+          val p = rgb(y * w + x)
+          sum(r)(c) += ((p >> 16 & 0xFF) * 299 + (p >> 8 & 0xFF) * 587 +
+            (p & 0xFF) * 114).toLong
+          cnt(r)(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var bits = 0L
+      var rr = 0
+      while (rr < 8) {
+        var cc = 0
+        while (cc < 8) {
+          val nc = (cc + 1) % 8
+          if (sum(rr)(cc) * cnt(rr)(nc) > sum(rr)(nc) * cnt(rr)(cc))
+            bits |= 1L << (rr * 8 + cc)
+          cc += 1
+        }
+        rr += 1
+      }
+      bits
+    }
   }
 
   /** Deterministic synthetic asset table derived from a numeric id
@@ -449,6 +493,48 @@ object Multimodal {
           Asset(id, "video", PureCodecs.writeMjpegAvi(16, 16, frames),
             AssetMeta(Some(16), Some(16), None, Some(4)))
       }
+    }.toDF()
+  }
+
+  /** Image-only asset table with PLANTED near-duplicate groups for the
+    * perceptual-hash dedup row: ids in the same `id div 4` group share
+    * one base gradient pattern; each id perturbs ONE 2×2 pixel block
+    * (position and color from `id % 4`; the 0-variant is the untouched
+    * canonical). A 2×2 block of the 16×16 fixture is exactly one cell
+    * of the 8×8 dHash pool, so two group-mates differ in ≤ 2 cells →
+    * ≤ 4 hash bits: within-group Hamming ≤ 4 BY CONSTRUCTION (the
+    * spec's recall gate), while distinct base gradients scatter to
+    * large distances.
+    */
+  def nearDupImages(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].map { id =>
+      val base = id / 4
+      val rgb = Array.tabulate(16 * 16) { i =>
+        val (x, y) = (i % 16, i / 16)
+        val r = (base * 31 + x * 7 + y * 13) % 256
+        val g = (base * 17 + x * 11 + y * 3) % 256
+        val b = (base * 29 + x * 5 + y * 19) % 256
+        (r.toInt << 16) | (g.toInt << 8) | b.toInt
+      }
+      val v = (id % 4).toInt
+      if (v > 0) {
+        val bx = v * 2           // 2px-aligned block → one dHash pool cell
+        val by = ((v + 2) % 8) * 2
+        val color = if (v % 2 == 0) 0xFFFFFF else 0x000000
+        var dy = 0
+        while (dy < 2) {
+          var dx = 0
+          while (dx < 2) {
+            rgb((by + dy) * 16 + (bx + dx)) = color
+            dx += 1
+          }
+          dy += 1
+        }
+      }
+      Asset(id, "image", PureCodecs.writeBmp(16, 16, rgb),
+        AssetMeta(Some(16), Some(16), None, None))
     }.toDF()
   }
 
