@@ -82,5 +82,16 @@ object NoOracle5 {
         "results_equal", "ok")
   }
 
-  def all: Seq[Q] = Seq(parquetBloom)
+  /** B35 — streaming progress metrics across the b13-style restart:
+    * the StreamingQueryListener per-batch progress stream folded to a
+    * summary row per run (input rows and state-store rows checked
+    * against their data-determined expectations; machine-dependent
+    * durations surfaced as flags). See
+    * [[graft.streaming.StreamOps.progressMetrics]].
+    */
+  val streamProgress: Q = Q.noOracle("b35_stream_progress") { (s, d) =>
+    graft.streaming.StreamOps.progressMetrics(T.events(s, d))
+  }
+
+  def all: Seq[Q] = Seq(parquetBloom, streamProgress)
 }

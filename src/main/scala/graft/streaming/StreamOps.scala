@@ -215,4 +215,87 @@ object StreamOps {
         (coalesce(col("n_stream"), lit(0L)) === col("n_batch")).as("recovered"))
       .orderBy(col("event_type").asc_nulls_first)
   }
+
+  /** B35: streaming runtime OBSERVABILITY — the per-batch progress
+    * stream (StreamingQueryListener events) across a checkpoint
+    * restart, the metrics leg a 100 TB streaming operator actually
+    * watches (input rows, batch duration, state-store rows). Same
+    * two-run restart harness as [[checkpointRestartCounts]]; each
+    * run's QueryProgressEvents are captured by a listener and folded
+    * to one deterministic summary row (durations and rates are
+    * machine-dependent, so they surface as VALIDITY FLAGS, while row
+    * and state counts — functions of the data alone — surface as
+    * values). Listener delivery is async; the fold waits on the
+    * run's QueryTerminatedEvent, which Spark guarantees to post after
+    * stop(), so the drain is race-free.
+    */
+  def progressMetrics(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val slice = events.select(col("event_id"), col("event_type"))
+      .filter(col("event_id") % 50 === 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (h1, h2) = slice.partition(_._1 % 100 == 0)
+    val token = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft_b35_ckpt_$token").toString
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val counts = mem.toDS().toDF("event_id", "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_stream"))
+    val progresses =
+      new java.util.concurrent.ConcurrentHashMap[java.util.UUID,
+        scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.streaming.StreamingQueryProgress]]()
+    val terminated = java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        progresses.computeIfAbsent(e.progress.runId,
+          _ => scala.collection.mutable.ArrayBuffer.empty) += e.progress
+      }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
+        terminated.add(e.runId); ()
+      }
+    }
+    s.streams.addListener(listener)
+    try {
+      def runOnce(sinkName: String): java.util.UUID = {
+        val q = counts.writeStream.format("memory").queryName(sinkName)
+          .outputMode("complete").option("checkpointLocation", ckpt).start()
+        try { q.processAllAvailable() } finally { q.stop() }
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (!terminated.contains(q.runId) && System.nanoTime() < deadline)
+          Thread.sleep(20)
+        q.runId
+      }
+      mem.addData(h1.toIndexedSeq)
+      val run1 = runOnce(s"b35_${token}_run1")
+      mem.addData(h2.toIndexedSeq)
+      val run2 = runOnce(s"b35_${token}_run2")
+      def fold(phase: String, runId: java.util.UUID, expRows: Long, expState: Long) = {
+        val ps = Option(progresses.get(runId)).map(_.toSeq).getOrElse(Seq.empty)
+        val stateMax = ps.flatMap(_.stateOperators.toSeq.map(_.numRowsTotal))
+          .foldLeft(0L)(math.max)
+        (phase,
+          ps.nonEmpty,
+          ps.map(_.numInputRows).sum,
+          expRows,
+          stateMax,
+          expState,
+          ps.forall(p => p.batchDuration >= 0 &&
+            Option(p.durationMs).forall(m => !m.isEmpty)),
+          ps.map(_.numInputRows).sum == expRows && stateMax == expState)
+      }
+      val types1 = h1.map(_._2).distinct.length.toLong
+      val typesAll = slice.map(_._2).distinct.length.toLong
+      Seq(
+        fold("run1", run1, h1.length.toLong, types1),
+        fold("run2_restart", run2, h2.length.toLong, typesAll))
+        .toDF("phase", "has_progress", "input_rows", "input_rows_expected",
+          "state_rows", "state_rows_expected", "durations_ok", "as_declared")
+        .orderBy(col("phase").asc_nulls_first)
+    } finally s.streams.removeListener(listener)
+  }
 }
