@@ -25,6 +25,9 @@ object CurateOps3 {
   val textCompressRatio: Q = Q.noOracle("text_compress_ratio") { (s, d) =>
     import s.implicits._
     val scored = T.documents(s, d)
+      // null text = nothing to compress; skip (null-injected corpora —
+      // the codec lambda must never see a null payload)
+      .filter(col("text").isNotNull)
       .select(col("lang"), col("text")).as[(String, String)]
       .mapPartitions { it =>
         val deflater = new Deflater(6)
@@ -82,7 +85,8 @@ object CurateOps3 {
       val j = T.orders(s, d).select(col("o_custkey"), col("o_orderkey"))
         .join(dim, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
-      val rows = j.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      val rows = j.collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(t => (t._1 == null, t._1))
       val kinds = joinKinds(j.queryExecution.executedPlan).distinct.sorted
       (rows.map { case (k2, v) => s"$k2=$v" }.mkString(","),
         rows.map(_._2).sum, kinds.mkString("+"))

@@ -161,7 +161,8 @@ object Functions {
     "fn_map",
     """WITH pertype AS (
       |  SELECT user_id, event_type, count(*) AS n
-      |  FROM events GROUP BY user_id, event_type
+      |  FROM events WHERE event_type IS NOT NULL
+      |  GROUP BY user_id, event_type
       |), m AS (
       |  SELECT user_id,
       |         MAP(list(event_type ORDER BY event_type), list(n ORDER BY event_type)) AS type_counts
@@ -176,6 +177,9 @@ object Functions {
       |ORDER BY user_id NULLS FIRST""".stripMargin
   ) { (s, d) =>
     T.events(s, d)
+      // a NULL map key is illegal in Spark (NULL_MAP_KEY) and
+      // meaningless here — excluded symmetrically in the oracle
+      .filter(col("event_type").isNotNull)
       .groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("user_id"))

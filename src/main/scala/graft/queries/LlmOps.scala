@@ -115,10 +115,12 @@ object LlmOps {
     s"""SELECT a.vec_id AS a, b.vec_id AS b, $duckCosine AS sim
        |FROM embeddings a JOIN embeddings b
        |  ON a.vec_id < b.vec_id AND a.vec_id < 50
+       |  AND a.embedding IS NOT NULL AND b.embedding IS NOT NULL
        |ORDER BY sim DESC, a ASC NULLS FIRST, b ASC NULLS FIRST
        |LIMIT 10""".stripMargin
   ) { (s, d) =>
-    val e = T.embeddings(s, d)
+    // null vectors carry no similarity — excluded symmetrically in the oracle
+    val e = T.embeddings(s, d).filter(col("embedding").isNotNull)
     val a = e.select(col("vec_id").as("a"), col("embedding").as("a_emb"),
         sqrt(VectorOps.ssq(col("embedding"))).as("a_norm"))
       .filter(col("a") < 50)
@@ -139,10 +141,12 @@ object LlmOps {
        |  SELECT a.vec_id AS a, b.vec_id AS b, $duckCosine AS sim
        |  FROM embeddings a JOIN embeddings b
        |    ON a.vec_id < b.vec_id AND a.vec_id < 100 AND b.vec_id < 100
+       |    AND a.embedding IS NOT NULL AND b.embedding IS NOT NULL
        |) WHERE sim >= 0.2
        |ORDER BY a ASC NULLS FIRST, b ASC NULLS FIRST""".stripMargin
   ) { (s, d) =>
     val e = T.embeddings(s, d).filter(col("vec_id") < 100)
+      .filter(col("embedding").isNotNull)
     val a = e.select(col("vec_id").as("a"), col("embedding").as("a_emb"),
       sqrt(VectorOps.ssq(col("embedding"))).as("a_norm"))
     val b = e.select(col("vec_id").as("b"), col("embedding").as("b_emb"),

@@ -250,22 +250,24 @@ object LlmOpsAnn {
     "ann_ivf_topk", {
       val cosAssign = duckCos("v.embedding", "c.embedding")
       val cosSearch = duckCos("q.embedding", "n.embedding")
-      s"""WITH cent AS (
-         |  SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id < 16
+      s"""WITH emb AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+         |), cent AS (
+         |  SELECT vec_id AS cent_id, embedding FROM emb WHERE vec_id < 16
          |), assign AS (
          |  SELECT vec_id, cent_id FROM (
          |    SELECT v.vec_id, c.cent_id,
          |           row_number() OVER (PARTITION BY v.vec_id
          |                              ORDER BY $cosAssign DESC, c.cent_id ASC) AS rn
-         |    FROM embeddings v CROSS JOIN cent c
+         |    FROM emb v CROSS JOIN cent c
          |  ) WHERE rn = 1
          |), q AS (
          |  SELECT e.vec_id, e.embedding, a.cent_id
-         |  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+         |  FROM emb e JOIN assign a ON e.vec_id = a.vec_id
          |  WHERE e.vec_id IN (200, 300, 400)
          |), nbr AS (
          |  SELECT e.vec_id, e.embedding, a.cent_id
-         |  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+         |  FROM emb e JOIN assign a ON e.vec_id = a.vec_id
          |)
          |SELECT query_id, neighbor_id, sim, rank FROM (
          |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
@@ -277,7 +279,8 @@ object LlmOpsAnn {
          |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
     }
   ) { (s, d) =>
-    val e = T.embeddings(s, d)
+    // null vectors are unindexable — excluded symmetrically (emb CTE)
+    val e = T.embeddings(s, d).filter(col("embedding").isNotNull)
     val cent = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
     val cosAssign = cosCol("embedding", "c_emb")
@@ -324,30 +327,32 @@ object LlmOpsAnn {
     "ann_ivf_nprobe", {
       val cosAssign = duckCos("v.embedding", "c.embedding")
       val cosSearch = duckCos("q.embedding", "n.embedding")
-      s"""WITH cent AS (
-         |  SELECT vec_id AS cent_id, embedding FROM embeddings
-         |  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)
+      s"""WITH emb AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+         |), cent AS (
+         |  SELECT vec_id AS cent_id, embedding FROM emb
+         |  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM emb)
          |), assign AS (
          |  SELECT vec_id, cent_id FROM (
          |    SELECT v.vec_id, c.cent_id,
          |           row_number() OVER (PARTITION BY v.vec_id
          |                              ORDER BY $cosAssign DESC, c.cent_id ASC) AS rn
-         |    FROM embeddings v CROSS JOIN cent c
+         |    FROM emb v CROSS JOIN cent c
          |  ) WHERE rn = 1
          |), nbr AS (
          |  SELECT e.vec_id, e.embedding, a.cent_id
-         |  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+         |  FROM emb e JOIN assign a ON e.vec_id = a.vec_id
          |), probe AS (
          |  SELECT vec_id, cent_id FROM (
          |    SELECT v.vec_id, c.cent_id,
          |           row_number() OVER (PARTITION BY v.vec_id
          |                              ORDER BY $cosAssign DESC, c.cent_id ASC) AS rn
-         |    FROM embeddings v CROSS JOIN cent c
+         |    FROM emb v CROSS JOIN cent c
          |    WHERE v.vec_id IN (200, 300, 400)
          |  ) WHERE rn <= 8
          |), q AS (
          |  SELECT e.vec_id, e.embedding, p.cent_id
-         |  FROM embeddings e JOIN probe p ON e.vec_id = p.vec_id
+         |  FROM emb e JOIN probe p ON e.vec_id = p.vec_id
          |)
          |SELECT query_id, neighbor_id, sim, rank FROM (
          |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
@@ -359,7 +364,8 @@ object LlmOpsAnn {
          |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
     }
   ) { (s, d) =>
-    val e = T.embeddings(s, d)
+    // null vectors are unindexable — excluded symmetrically (emb CTE)
+    val e = T.embeddings(s, d).filter(col("embedding").isNotNull)
     val kRow = e.agg(ceil(sqrt(count(lit(1)))).cast("long").as("k"))
     val cent = e.crossJoin(broadcast(kRow)).filter(col("vec_id") < col("k"))
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
@@ -415,20 +421,22 @@ object LlmOpsAnn {
     "ann_ivf_kmeans", {
       val cosAssign = duckCos("v.embedding", "c.embedding")
       val cosSearch = duckCos("q.embedding", "n.embedding")
-      s"""WITH cent0 AS (
-         |  SELECT vec_id AS cent_id, embedding FROM embeddings
-         |  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)
+      s"""WITH emb AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+         |), cent0 AS (
+         |  SELECT vec_id AS cent_id, embedding FROM emb
+         |  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM emb)
          |), assign0 AS (
          |  SELECT vec_id, cent_id FROM (
          |    SELECT v.vec_id, c.cent_id,
          |           row_number() OVER (PARTITION BY v.vec_id
          |                              ORDER BY $cosAssign DESC, c.cent_id ASC) AS rn
-         |    FROM embeddings v CROSS JOIN cent0 c
+         |    FROM emb v CROSS JOIN cent0 c
          |  ) WHERE rn = 1
          |), dims AS (
          |  SELECT a.cent_id, unnest(generate_series(1, len(v.embedding))) AS pos,
          |         unnest(v.embedding) AS val
-         |  FROM embeddings v JOIN assign0 a ON v.vec_id = a.vec_id
+         |  FROM emb v JOIN assign0 a ON v.vec_id = a.vec_id
          |), upd AS (
          |  SELECT cent_id, pos,
          |         CAST(CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS FLOAT) AS m
@@ -440,22 +448,22 @@ object LlmOpsAnn {
          |    SELECT v.vec_id, c.cent_id,
          |           row_number() OVER (PARTITION BY v.vec_id
          |                              ORDER BY $cosAssign DESC, c.cent_id ASC) AS rn
-         |    FROM embeddings v CROSS JOIN cent c
+         |    FROM emb v CROSS JOIN cent c
          |  ) WHERE rn = 1
          |), nbr AS (
          |  SELECT e.vec_id, e.embedding, a.cent_id
-         |  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+         |  FROM emb e JOIN assign a ON e.vec_id = a.vec_id
          |), probe AS (
          |  SELECT vec_id, cent_id FROM (
          |    SELECT v.vec_id, c.cent_id,
          |           row_number() OVER (PARTITION BY v.vec_id
          |                              ORDER BY $cosAssign DESC, c.cent_id ASC) AS rn
-         |    FROM embeddings v CROSS JOIN cent c
+         |    FROM emb v CROSS JOIN cent c
          |    WHERE v.vec_id IN (200, 300, 400)
          |  ) WHERE rn <= 8
          |), q AS (
          |  SELECT e.vec_id, e.embedding, p.cent_id
-         |  FROM embeddings e JOIN probe p ON e.vec_id = p.vec_id
+         |  FROM emb e JOIN probe p ON e.vec_id = p.vec_id
          |)
          |SELECT query_id, neighbor_id, sim, rank FROM (
          |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
@@ -480,6 +488,7 @@ object LlmOpsAnn {
                       nIter: Int, nprobe: Int = 8): DataFrame = {
     require(nIter >= 1, s"ivfKmeansSearch: nIter must be >= 1, got $nIter")
     val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull)
     val kRow = e.agg(ceil(sqrt(count(lit(1)))).cast("long").as("k"))
     val cent0 = e.crossJoin(broadcast(kRow)).filter(col("vec_id") < col("k"))
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))

@@ -109,12 +109,14 @@ object LlmOpsExt {
         """list_reduce(list_transform(list_zip(x.embedding, y.embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)
           |      / (sqrt(list_reduce(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
           |       * sqrt(list_reduce(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)))""".stripMargin
-      s"""WITH aug AS (
-         |  SELECT vec_id, embedding FROM embeddings
+      s"""WITH emb AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+         |), aug AS (
+         |  SELECT vec_id, embedding FROM emb
          |  UNION ALL
          |  SELECT vec_id + 100000,
          |         list_concat(embedding[1:62], [CAST(0 AS FLOAT), CAST(0 AS FLOAT)])
-         |  FROM embeddings
+         |  FROM emb
          |), hp AS (
          |  SELECT j, list((CASE WHEN (CAST(('0x' || substring(md5('hp_' || j || '_' || i), 1, 15)) AS BIGINT) & 1) = 1
          |                       THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) ORDER BY i) AS h
@@ -143,7 +145,9 @@ object LlmOpsExt {
     }
   ) { (s, d) =>
     import graft.functions.VectorOps
+    // null vectors have no fingerprint — excluded symmetrically (emb CTE)
     val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull)
     val planted = e.select(
       (col("vec_id") + 100000L).as("vec_id"),
       concat(slice(col("embedding"), 1, 62), array(lit(0f), lit(0f))).as("embedding"))

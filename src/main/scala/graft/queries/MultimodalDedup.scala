@@ -15,9 +15,20 @@ import graft.multimodal.Multimodal
   * PhashDedupSpec's recall-vs-exact-pixel-distance check instead.
   *
   * Scale shape: fingerprinting is one linear codec pass; the join cost
-  * is bucket collisions, not n² — identical economics to
-  * dedup_minhash_lsh, with the fingerprint broadcastable (8 bytes per
-  * image vs the payload's KBs).
+  * is bucket collisions, not n² — PROVIDED hot buckets are suppressed.
+  * Perceptual hashes of low-texture images cluster (whole bands go
+  * 0x8080 for any monotone gradient), so without a cap the flooded
+  * buckets degenerate the band join toward n² — the same failure class
+  * as r8's b6_lsh_embedding_near. Two levers, both standard:
+  * 16-bit bands (4×65536 buckets instead of 8×256) and a bucket-size
+  * cap (size > 64 ⇒ the band value is non-discriminative; drop the
+  * bucket, not the docs). Recall after the cap: guaranteed for any
+  * pair sharing ≥ 1 sub-cap band — which the planted groups satisfy by
+  * construction (group-mates always share the base-dependent high band
+  * that distinguishes their group; PhashDedupSpec gates it), and which
+  * holds for real corpora exactly when a pair agrees on anything
+  * distinctive at all. The bucket-count frame is ≤ 4·|distinct values|
+  * rows — broadcastable at any corpus scale.
   */
 object MultimodalDedup {
 
@@ -30,10 +41,15 @@ object MultimodalDedup {
       it.map(a => (a.asset_id, Multimodal.PureCodecs.dHash64(a.content)))
     }.toDF("asset_id", "h")
     val bands = fp.select(col("asset_id"), col("h"),
-        explode(sequence(lit(0), lit(7))).as("j"))
+        explode(sequence(lit(0), lit(3))).as("j"))
       .select(col("asset_id"), col("h"), col("j"),
-        expr("(h >> (j * 8)) & 255").as("k"))
-    val cand = bands.as("x").join(bands.as("y"),
+        expr("(h >> (j * 16)) & 65535").as("k"))
+    val coldBuckets = bands.groupBy(col("j"), col("k"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= 64)
+      .select(col("j"), col("k"))
+    val kept = bands.join(broadcast(coldBuckets), Seq("j", "k"))
+    val cand = kept.as("x").join(kept.as("y"),
         col("x.j") === col("y.j") && col("x.k") === col("y.k")
           && col("x.asset_id") < col("y.asset_id"))
       .select(col("x.asset_id").as("a"), col("x.h").as("ha"),

@@ -114,7 +114,8 @@ object NoOracle {
     // linear in the corpus by construction, output hard-capped at
     // probes·k. Still the spark.ml BucketedRandomProjectionLSH library
     // surface underneath; recall vs brute force is gated in LshSpec.
-    graft.ml.Lsh.embeddingProbeTopK(s, T.embeddings(s, d),
+    graft.ml.Lsh.embeddingProbeTopK(s,
+        T.embeddings(s, d).filter(col("embedding").isNotNull),
         k = 10, nProbes = 256, numHashTables = 4)
       .select(col("q"), col("nb"), round(col("dist"), 6).as("l2_dist"))
       .orderBy(col("l2_dist").asc_nulls_first,
@@ -615,6 +616,10 @@ object NoOracle {
   val streamStateBatchRun: Q = Q.noOracle("b9_stream_state") { (s, d) =>
     import s.implicits._
     val ev = T.events(s, d)
+      // typed-event boundary: primitive fields (user_id/value) and the
+      // event-time column cannot carry NULL into the GEvent encoder —
+      // drop malformed rows like any streaming ingest edge would
+      .filter(col("ts").isNotNull && col("user_id").isNotNull && col("value").isNotNull)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[graft.streaming.GEvent]
     graft.streaming.StreamOps.runningUserAggs(ev)

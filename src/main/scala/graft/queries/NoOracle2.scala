@@ -51,6 +51,9 @@ object NoOracle2 {
     import s.implicits._
     val cents = T.orders(s, d)
       .select((T.dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+      // sketches aggregate VALUES; SQL aggregates skip NULLs — mirror
+      // that here (and keep the Long encoder null-free)
+      .filter(col("cents").isNotNull)
     val parts = cents.as[Long].mapPartitions { it =>
       val sk = KllDoublesSketch.newHeapInstance(200)
       it.foreach(v => sk.update(v.toDouble))
@@ -99,8 +102,11 @@ object NoOracle2 {
     * ~1.6% RSE; exact below 4096 distincts).
     */
   val thetaSetops: Q = Q.noOracle("b10_theta_setops") { (s, d) =>
-    val o = T.orders(s, d).select(col("o_custkey"),
-      year(col("o_orderdate")).as("yr"))
+    // set algebra over KEYS: a NULL key is a non-member on both the
+    // sketch side (unhashable) and the exact side (equi-join never
+    // matches NULL) — filter it once so both sides agree
+    val o = T.orders(s, d).filter(col("o_custkey").isNotNull)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"))
     val a = o.filter(col("yr") === 1996).select(col("o_custkey"))
     val b = o.filter(col("yr") === 1997).select(col("o_custkey"))
     val skA = thetaSketch(s, a, "o_custkey")

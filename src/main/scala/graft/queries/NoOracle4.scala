@@ -45,10 +45,12 @@ object NoOracle4 {
         .groupBy(col("pri")).agg(sum(col("v")).cast("long").as("v"))
     }
     val before = nodes(df)
-    val resBefore = df.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val resBefore = df.collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(t => (t._1 == null, t._1))
     val cut = df.localCheckpoint() // eager: materializes, lineage becomes a leaf
     val after = nodes(cut)
-    val resAfter = cut.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val resAfter = cut.collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(t => (t._1 == null, t._1))
     // one more doubling round on the cut frame stays small
     val next = cut.unionByName(cut.select(col("pri"), (col("v") * 0).as("v")))
       .groupBy(col("pri")).agg(sum(col("v")).cast("long").as("v"))
@@ -152,7 +154,8 @@ object NoOracle4 {
     def run(): (Seq[(String, Long)], Seq[Int], Boolean) = {
       val df = T.orders(s, d)
         .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
-      val res = df.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+      val res = df.collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(t => (t._1 == null, t._1)).toSeq
       val plan = df.queryExecution.executedPlan
       (res, shuffleReadParts(plan), plan.toString().contains("coalesced"))
     }

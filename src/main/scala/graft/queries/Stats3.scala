@@ -412,6 +412,8 @@ object Stats3 {
     val slice = T.events(s, d)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .filter(col("event_id") % 50 === 0)
+      // GEvent's primitive fields + the watermark column must be non-null
+      .filter(col("ts").isNotNull && col("user_id").isNotNull && col("value").isNotNull)
       .as[graft.streaming.GEvent].collect().toIndexedSeq.sortBy(_.event_id)
     val half = slice.length / 2
     // replay shape: batch2 re-delivers batch1 alongside new rows;

@@ -62,12 +62,19 @@ class PhashDedupSpec extends SparkSpec {
       if a < b && pixelL1(ba, bb) <= 8L * 3 * 255
     } yield (a, b)).toSet
     assert(truth.nonEmpty)
-    // the declared row's candidate machinery, re-run at pair granularity
+    // the declared row's candidate machinery, re-run at pair granularity:
+    // 16-bit bands with the hot-bucket (> 64) suppression cap
     val hashes = assets.toSeq.map { case (id, b) => id -> PureCodecs.dHash64(b) }
+    val bucketSize = hashes
+      .flatMap { case (_, h) => (0 until 4).map(j => (j, (h >> (j * 16)) & 65535)) }
+      .groupBy(identity).map { case (k, v) => k -> v.size }
     val found = (for {
       (a, ha) <- hashes; (b, hb) <- hashes
       if a < b && java.lang.Long.bitCount(ha ^ hb) <= 6
-      if (0 until 8).exists(j => ((ha >> (j * 8)) & 255) == ((hb >> (j * 8)) & 255))
+      if (0 until 4).exists { j =>
+        val (ka, kb) = ((ha >> (j * 16)) & 65535, (hb >> (j * 16)) & 65535)
+        ka == kb && bucketSize((j, ka)) <= 64
+      }
     } yield (a, b)).toSet
     val missed = truth -- found
     assert(missed.isEmpty, s"pHash dedup missed true near-dups: $missed")
