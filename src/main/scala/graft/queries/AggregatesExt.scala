@@ -138,8 +138,12 @@ object AggregatesExt {
     // cumulative weight of all earlier bins. Same result bit-for-bit,
     // no unbounded per-flag sort anywhere.
     val B = 1024
+    // the pipeline equi-joins on flag repeatedly, and NULL group keys
+    // never equi-match — route them through a sentinel (\u0001 cannot
+    // collide with the single-letter flags) and restore at the edge so
+    // the NULL group survives like it does in the oracle's GROUP BY
     val w = T.lineitem(s, d).select(
-      col("l_returnflag").as("flag"),
+      coalesce(col("l_returnflag"), lit("\u0001")).as("flag"),
       T.dec2(col("l_extendedprice")).as("price"),
       col("l_quantity").cast("long").as("qty"))
       .withColumn("cents", (col("price") * 100).cast("long"))
@@ -171,6 +175,8 @@ object AggregatesExt {
       .groupBy(col("flag"))
       .agg(min(col("price")).cast("double").as("weighted_median"),
         min(col("tot")).cast("long").as("total_qty"))
+      .select(nullif(col("flag"), lit("\u0001")).as("flag"),
+        col("weighted_median"), col("total_qty"))
       .orderBy(col("flag").asc_nulls_first)
   }
 

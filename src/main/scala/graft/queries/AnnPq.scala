@@ -37,7 +37,8 @@ object AnnPq {
        |  SELECT vec_id, mi AS ms,
        |         list_transform(embedding[(mi*$SUB+1):(mi*$SUB+$SUB)],
        |                        x -> CAST(x AS DOUBLE)) AS sv
-       |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, ${M - 1})) AS mi)),
+       |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, ${M - 1})) AS mi)
+       |  WHERE embedding IS NOT NULL),
        |codebook AS (SELECT vec_id AS j, ms AS cms, sv AS cv FROM subs WHERE vec_id < $K),
        |enc AS (
        |  SELECT vec_id, ms, j AS code FROM (
@@ -65,7 +66,8 @@ object AnnPq {
        |WHERE rank <= 5
        |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
   ) { (s, d) =>
-    val emb = T.embeddings(s, d)
+    // null vectors are unencodable — excluded symmetrically in the oracle
+    val emb = T.embeddings(s, d).filter(col("embedding").isNotNull)
     // (vec_id, ms, sv): the m 8-dim double subvectors of every vector
     val subs = emb.select(col("vec_id"), explode(expr(
       s"""transform(sequence(0, ${M - 1}), mi -> struct(mi AS ms,

@@ -204,7 +204,7 @@ object LlmOpsExt {
       |  SELECT doc_id, lang, unnest(list_distinct(list_transform(
       |           generate_series(1, greatest(length(lower(text)) - 2, 0)),
       |           i -> substring(lower(text), i, 3)))) AS g
-      |  FROM documents
+      |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
       |), profile AS (
       |  SELECT lang, g FROM (
       |    SELECT lang, g, row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, g ASC) AS rn
@@ -245,6 +245,9 @@ object LlmOpsExt {
     // here than cache's, and the cached frame is small enough to stay
     // resident).
     val tg = T.documents(s, d)
+      // language-ID needs text, and the supervised confusion needs the
+      // actual label — null-sweep r9 pins both exclusions symmetrically
+      .filter(col("text").isNotNull && col("lang").isNotNull)
       // lower(text) ONCE per row as its own column — inside the lambda it
       // would re-lowercase (copy) the whole doc per trigram, O(len²)/doc.
       // Then split to a per-char array: substring(lt, i, 3) scans from
@@ -297,7 +300,7 @@ object LlmOpsExt {
       |  SELECT doc_id, lang, unnest(list_distinct(list_transform(
       |           generate_series(1, greatest(length(lower(text)) - 2, 0)),
       |           i -> substring(lower(text), i, 3)))) AS g
-      |  FROM documents
+      |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
       |), profile AS (
       |  SELECT lang, g FROM (
       |    SELECT lang, g, row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, g ASC) AS rn

@@ -140,7 +140,9 @@ object MiscOps {
     T.lineitem(s, d)
       .select(
         col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
-        to_json(info).as("line_info"),
+        // Spark's to_json DROPS null fields by default; DuckDB keeps
+        // "flag":null — pin Spark to the keep-null behavior
+        to_json(info, java.util.Map.of("ignoreNullFields", "false")).as("line_info"),
         info.getField("flag").as("flag_again"))
       .orderBy(col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first,
         col("l_partkey").asc_nulls_first, col("l_suppkey").asc_nulls_first)

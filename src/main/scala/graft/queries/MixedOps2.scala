@@ -31,7 +31,7 @@ object MixedOps2 {
       |  SELECT label, embedding,
       |         CAST(list_aggregate(list_transform(embedding,
       |                x -> abs(CAST(x AS DOUBLE))), 'max') AS DOUBLE) AS max_abs
-      |  FROM embeddings),
+      |  FROM embeddings WHERE embedding IS NOT NULL),
       |q AS (
       |  SELECT label, list_transform(embedding,
       |           x -> CAST(round(CAST(x AS DOUBLE) * 127.0
@@ -58,6 +58,9 @@ object MixedOps2 {
     // centroid aggregate). The Generate boundary pins max_abs to one
     // evaluation per vector.
     val c = T.embeddings(s, d)
+      // posexplode would drop null vectors implicitly anyway — make the
+      // exclusion explicit and mirrored in the oracle (null-sweep r9)
+      .filter(col("embedding").isNotNull)
       .withColumn("max_abs",
         expr("CAST(array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE)"))
       .select(col("label"), col("max_abs"), posexplode(col("embedding")).as(Seq("p", "x")))

@@ -40,7 +40,8 @@ object RankOps {
       |  SELECT c_mktsegment AS seg,
       |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
       |  FROM customer JOIN orders ON c_custkey = o_custkey
-      |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+      |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+      |    AND o_totalprice IS NOT NULL),
       |v AS (
       |  SELECT cents,
       |         CAST(sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS c0,
@@ -71,6 +72,8 @@ object RankOps {
       .join(T.orders(s, d).select(col("o_custkey"), col("o_totalprice")),
         col("c_custkey") === col("o_custkey"))
       .filter(col("seg").isin("BUILDING", "MACHINERY"))
+      // ranks are over OBSERVED values; NULL is not a sample (null-sweep r9)
+      .filter(col("o_totalprice").isNotNull)
       .select(col("seg"), (T.dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
     val v = o.groupBy(col("cents")).agg(
       sum(when(col("seg") === "BUILDING", 1L).otherwise(0L)).as("c0"),

@@ -550,6 +550,7 @@ object SegmentOps {
       |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
       |  FROM orders JOIN customer ON o_custkey = c_custkey
       |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE o_orderdate IS NOT NULL
       |  GROUP BY 1, 2),
       |lagd AS (
       |  SELECT n_name, mon, cents,
@@ -559,7 +560,10 @@ object SegmentOps {
       |       round(CAST(cents - prev AS DOUBLE) / prev, 6) AS mom_growth
       |FROM lagd ORDER BY n_name NULLS FIRST, mon NULLS FIRST""".stripMargin
   ) { (s, d) =>
+    // a month-over-month series has no NULL month: the lag chain's
+    // null position differs between engines (null-sweep r9) — exclude
     val m = T.orders(s, d).select(col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+      .filter(col("o_orderdate").isNotNull)
       .join(T.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(T.nation(s, d).select(col("n_nationkey"), col("n_name"))),

@@ -34,7 +34,7 @@ object SurfaceOps4 {
       |           AS path,
       |         replace(split_part(url, 'pri=', 2), '%20', ' ') AS pri,
       |         o_orderkey
-      |  FROM u)
+      |  FROM u WHERE url IS NOT NULL)
       |SELECT host, pri, CAST(count(*) AS BIGINT) AS n,
       |       CAST(min(o_orderkey) AS BIGINT) AS min_key,
       |       min(path) AS sample_path
@@ -48,7 +48,9 @@ object SurfaceOps4 {
         lit(".example.com/order/"), col("o_orderkey").cast("string"),
         lit("?pri="), regexp_replace(col("o_orderpriority"), " ", "%20")).as("url"),
         col("o_orderkey"))
-    val p = u.select(
+    // a NULL url (null segment/priority upstream) is unparseable — the
+    // two engines' parsers disagree on how to say so; exclude it in both
+    val p = u.filter(col("url").isNotNull).select(
       parse_url(col("url"), lit("HOST")).as("host"),
       parse_url(col("url"), lit("PATH")).as("path"),
       url_decode(parse_url(col("url"), lit("QUERY"), lit("pri"))).as("pri"),

@@ -38,8 +38,12 @@ object TimeTravel {
       |  UNION ALL
       |  SELECT CAST(2 AS BIGINT), CAST(3 AS BIGINT),
       |         CAST(0 AS BIGINT), CAST(0 AS BIGINT),
-      |         CAST(coalesce(sum(CASE WHEN o_orderkey % 10 = 3 THEN 1 ELSE 0 END), 0) AS BIGINT),
-      |         CAST(coalesce(sum(CASE WHEN o_orderkey % 10 <> 3 THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |         CAST(coalesce(sum(CASE WHEN o_orderkey % 10 = 3
+      |                                 AND o_totalprice IS NOT NULL
+      |                            THEN 1 ELSE 0 END), 0) AS BIGINT),
+      |         CAST(coalesce(sum(CASE WHEN o_orderkey % 10 <> 3
+      |                                 OR o_totalprice IS NULL
+      |                            THEN 1 ELSE 0 END), 0) AS BIGINT)
       |  FROM orders)
       |ORDER BY from_version""".stripMargin
   ) { (s, d) =>
@@ -73,16 +77,21 @@ object TimeTravel {
         .otherwise(col("o_totalprice"))), 3)
     def diff(fromV: Int, toV: Int): DataFrame = {
       val a = readPinned(fromV).select(col("o_orderkey").as("k"),
-        col("o_totalprice").as("tp_a"))
+        col("o_totalprice").as("tp_a"), lit(1).as("in_a"))
       val b = readPinned(toV).select(col("o_orderkey").as("k"),
-        col("o_totalprice").as("tp_b"))
+        col("o_totalprice").as("tp_b"), lit(1).as("in_b"))
+      // presence is keyed on a marker column, NOT the value column: a
+      // row whose PRICE is legitimately NULL must not read as an
+      // insert/delete, and value comparison is null-safe (<=>) so
+      // NULL→NULL counts as unchanged (null-sweep r9)
       a.join(b, Seq("k"), "full_outer")
         .agg(
-          coalesce(sum(when(col("tp_a").isNull, 1L)), lit(0L)).as("n_inserted"),
-          coalesce(sum(when(col("tp_b").isNull, 1L)), lit(0L)).as("n_deleted"),
-          coalesce(sum(when(col("tp_a").isNotNull && col("tp_b").isNotNull
-            && col("tp_a") =!= col("tp_b"), 1L)), lit(0L)).as("n_changed"),
-          coalesce(sum(when(col("tp_a") === col("tp_b"), 1L)), lit(0L)).as("n_unchanged"))
+          coalesce(sum(when(col("in_a").isNull, 1L)), lit(0L)).as("n_inserted"),
+          coalesce(sum(when(col("in_b").isNull, 1L)), lit(0L)).as("n_deleted"),
+          coalesce(sum(when(col("in_a").isNotNull && col("in_b").isNotNull
+            && !(col("tp_a") <=> col("tp_b")), 1L)), lit(0L)).as("n_changed"),
+          coalesce(sum(when(col("in_a").isNotNull && col("in_b").isNotNull
+            && (col("tp_a") <=> col("tp_b")), 1L)), lit(0L)).as("n_unchanged"))
         .select(lit(fromV.toLong).as("from_version"), lit(toV.toLong).as("to_version"),
           col("n_inserted"), col("n_deleted"), col("n_changed"), col("n_unchanged"))
     }

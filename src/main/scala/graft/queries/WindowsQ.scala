@@ -39,12 +39,15 @@ object WindowsQ {
       |       sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS running_spend,
       |       count(*) OVER w AS running_n
       |FROM orders
-      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |WINDOW w AS (PARTITION BY o_custkey
+      |             ORDER BY o_orderdate NULLS FIRST, o_orderkey
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY o_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin
   ) { (s, d) =>
+    // window-internal ORDER BY must pin null position too: Spark ASC
+    // defaults NULLS FIRST, DuckDB NULLS LAST (null-sweep r9 finding)
     val w = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .orderBy(col("o_orderdate").asc_nulls_first, col("o_orderkey").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     T.orders(s, d)
       .select(

@@ -51,6 +51,11 @@ def fmt(v):
             return "NULL"
         return f"ts:{v.isoformat()}"
     if isinstance(v, datetime.datetime):
+        # pd.NaT passes isinstance(datetime) — a NULL DATE surfaces as
+        # object-None on the Spark side (date32) but NaT on the duck
+        # side (datetime64); both are NULL the value level
+        if pd.isna(v):
+            return "NULL"
         return f"ts:{v.isoformat()}"
     if isinstance(v, datetime.date):
         return f"ts:{v.isoformat()}T00:00:00"
