@@ -193,8 +193,11 @@ object MiscOps {
     T.orders(s, d)
       .select(
         col("o_orderkey"),
-        format_string("%08d|%s|%.2f", col("o_orderkey"), col("o_orderstatus"),
-          col("o_totalprice")).as("line"),
+        // DuckDB's printf NULL-propagates; Spark's format_string prints
+        // the string "null" — pin Spark to the SQL-idiomatic NULL
+        when(col("o_orderstatus").isNotNull && col("o_totalprice").isNotNull,
+          format_string("%08d|%s|%.2f", col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"))).as("line"),
         format_string("%x", col("o_orderkey")).as("key_hex"))
       .orderBy(col("o_orderkey").asc_nulls_first)
       .limit(200)
