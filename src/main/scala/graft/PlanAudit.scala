@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One-shot plan audit over every declared query: reports which plans
+  * contain SortAggregate nodes (non-mutable agg buffers silently fall
+  * out of hash aggregation — the trap that cost ann_ivf_kmeans a full
+  * sort of its n·k crossed rows, round 9). Audit, not a gate: string
+  * min/max over small grouped inputs legitimately SortAggregates.
+  * Usage: tools/run.sh graft.PlanAudit [sfDir]
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.declared.foreach { q =>
+      val plan =
+        try q.fn(spark, sfDir).queryExecution.sparkPlan.toString()
+        catch { case e: Throwable => s"PLAN-FAILED ${e.getMessage}" }
+      val n = "SortAggregate".r.findAllIn(plan).size
+      if (n > 0 || plan.startsWith("PLAN-FAILED"))
+        println(f"$n%3d  ${q.name}%-28s ${plan.linesIterator.find(_.contains("SortAggregate")).map(_.trim.take(120)).getOrElse(plan.take(80))}")
+    }
+    spark.stop()
+  }
+}

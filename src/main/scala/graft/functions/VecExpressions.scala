@@ -79,6 +79,53 @@ case class FloatVecSsq(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Σ (aᵢ−bᵢ)² over ARRAY<DOUBLE> in index order — the squared-L2
+  * kernel for PQ encode/LUT. Bit-identical to the declarative
+  * `aggregate(zip_with(a, b, (x,y) -> (x−y)·(x−y)), 0D, (s,x) -> s+x)`
+  * fold (and to DuckDB's list_sum over the same list) because it runs
+  * the identical left-to-right double additions.
+  */
+case class DoubleVecL2Sq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_vec_l2sq"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val dv = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $dv = $a.getDouble($i) - $b.getDouble($i);
+         |  $s += $dv * $dv;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VecExpressions {
   /** Idempotently register the native kernels as SQL functions in this
     * session so they are reachable through the public call_function API.
@@ -89,5 +136,7 @@ object VecExpressions {
       exprs => FloatVecDot(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_vec_ssq",
       exprs => FloatVecSsq(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_vec_l2sq",
+      exprs => DoubleVecL2Sq(exprs(0), exprs(1)), "scala_udf")
   }
 }

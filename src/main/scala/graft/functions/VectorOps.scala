@@ -43,4 +43,16 @@ object VectorOps {
   /** Σ aᵢ² in double, index order. */
   def ssq(a: Column): Column =
     if (nativeRegistered) call_function("graft_vec_ssq", a) else ssqUdf(a)
+
+  private val l2sqUdf = udf { (a: Array[Double], b: Array[Double]) =>
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Σ (aᵢ−bᵢ)² over double arrays, index order. */
+  def l2sq(a: Column, b: Column): Column =
+    if (nativeRegistered) call_function("graft_vec_l2sq", a, b) else l2sqUdf(a, b)
 }

@@ -76,15 +76,27 @@ object AnnPq {
       .select(col("vec_id"), col("st.ms").as("ms"), col("st.sv").as("sv"))
     val codebook = subs.filter(col("vec_id") < K)
       .select(col("vec_id").as("j"), col("ms").as("cms"), col("sv").as("cv"))
-    val l2 = expr(
-      "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)")
-    // argmin as a partial-aggregable min_by over the (dist, j) struct
-    // (lexicographic ⇒ ties → lowest codeword id, matching the oracle's
-    // ORDER BY dist, j) — map-side combinable, no per-group sort
-    val enc = subs.join(broadcast(codebook), col("ms") === col("cms"))
-      .withColumn("dist", l2)
+    // codegen Σ(x−y)² kernel — same left-to-right double fold as the
+    // HOF formulation and DuckDB's list_sum, so results stay
+    // bit-identical while the n·m·k hot loop avoids per-element
+    // interpreted lambdas (VecExpressions.DoubleVecL2Sq)
+    val l2 = graft.functions.VectorOps.l2sq(col("sv"), col("cv"))
+    // Argmin WITHOUT a sort: min_by over a (dist, j) struct puts a
+    // struct in the agg buffer, which is not UnsafeRow-mutable — Spark
+    // silently falls back to SortAggregate and sorts all n·m·k crossed
+    // rows (the ann_ivf trap, round 9). Two codegen HashAggregate
+    // passes instead: min(dist) per (vec_id, ms), then re-cross and
+    // keep the bit-identical-minimum rows, min(j) as the tie-break —
+    // the oracle's ORDER BY dist, j semantics exactly.
+    val crossed = subs.join(broadcast(codebook), col("ms") === col("cms"))
+    val bestD = crossed
       .groupBy(col("vec_id"), col("ms"))
-      .agg(min_by(col("j"), struct(col("dist"), col("j"))).as("code"))
+      .agg(min(l2).as("best_d"))
+    val enc = subs.join(bestD, Seq("vec_id", "ms"))
+      .join(broadcast(codebook), col("ms") === col("cms"))
+      .filter(l2 === col("best_d"))
+      .groupBy(col("vec_id"), col("ms"))
+      .agg(min(col("j")).as("code"))
     val lut = subs.filter(col("vec_id").isin(200L, 300L, 400L))
       .select(col("vec_id").as("query_id"), col("ms").as("qms"), col("sv"))
       .join(broadcast(codebook), col("qms") === col("cms"))

@@ -227,6 +227,33 @@ object LlmOpsAnn {
       .orderBy(col("hamming").asc_nulls_first)
   }
 
+  /** Exact nearest-centroid assignment WITHOUT a sort. The obvious
+    * one-pass `max_by(cent_id, struct(cos, -cent_id))` puts a struct in
+    * the aggregation buffer, which is not UnsafeRow-mutable — Spark
+    * silently falls back to SortAggregate and SORTS all n·k crossed
+    * rows, each carrying two 64-float arrays (the sf10 sweep measured
+    * the assignment at minutes, sort-dominated, vs seconds of actual
+    * flops). Two codegen HashAggregate passes instead: (1) max(cos) per
+    * vector; (2) re-cross, keep rows whose cos is bit-identical to the
+    * max (same expression on the same inputs ⇒ exact match; Spark
+    * defines NaN = NaN as true, so zero-norm vectors still assign), and
+    * take min(cent_id) — the same (cos DESC, cent_id ASC) tie-break the
+    * oracle's row_number uses. Only n-row (vec_id, double/long) frames
+    * ever shuffle; the n·k pass stays inside whole-stage codegen.
+    */
+  private def argmaxAssign(e: DataFrame, cent: DataFrame): DataFrame = {
+    val v = e.select(col("vec_id"), col("embedding"))
+    val cosAssign = cosCol("embedding", "c_emb")
+    val best = v.crossJoin(broadcast(cent))
+      .groupBy(col("vec_id"))
+      .agg(max(cosAssign).as("best_cos"))
+    v.join(best, "vec_id")
+      .crossJoin(broadcast(cent))
+      .filter(cosAssign === col("best_cos"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("cent_id")).as("cent_id"))
+  }
+
   private def cosCol(aEmb: String, bEmb: String): Column = {
     import graft.functions.VectorOps
     VectorOps.dot(col(aEmb), col(bEmb)) /
@@ -283,17 +310,10 @@ object LlmOpsAnn {
     val e = T.embeddings(s, d).filter(col("embedding").isNotNull)
     val cent = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
-    val cosAssign = cosCol("embedding", "c_emb")
-    // Assignment is an ARGMAX, so express it as a partial-aggregable
-    // max_by instead of row_number over a window: the window form forces
-    // a hash exchange of all n·k crossed rows (each carrying two float
-    // vectors); max_by partial-aggregates map-side behind the broadcast
-    // join, so only n (vec_id, cent_id) pairs ever shuffle. Tie-break
-    // matches the oracle's (cos DESC, cent_id ASC): lexicographic max of
-    // (cos, -cent_id).
-    val assign = e.crossJoin(broadcast(cent))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cent_id"), struct(cosAssign, -col("cent_id"))).as("cent_id"))
+    // Assignment is an ARGMAX behind the broadcast of the centroid set:
+    // only n (vec_id, cent_id) pairs ever shuffle, never the crossed
+    // vectors — see argmaxAssign for the sort-free two-pass shape.
+    val assign = argmaxAssign(e, cent)
     val assigned = e.join(assign, "vec_id")
     val q = assigned.filter(col("vec_id").isin(200, 300, 400))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
@@ -377,11 +397,9 @@ object LlmOpsAnn {
     val cent = e.crossJoin(broadcast(kRow)).filter(col("vec_id") < col("k"))
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
     val cosAssign = cosCol("embedding", "c_emb")
-    // max_by argmax assignment (not a window) — see annIvfTopk: only the
+    // sort-free two-pass argmax assignment — see argmaxAssign: only the
     // n (vec_id, cent_id) pairs shuffle, never the n·√n crossed vectors.
-    val assign = e.crossJoin(broadcast(cent))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cent_id"), struct(cosAssign, -col("cent_id"))).as("cent_id"))
+    val assign = argmaxAssign(e, cent)
     val nbr = e.join(assign, "vec_id")
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
         col("cent_id").as("n_cent"))
@@ -507,10 +525,7 @@ object LlmOpsAnn {
     val cent0 = e.crossJoin(broadcast(kRow)).filter(col("vec_id") < col("k"))
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
     val cosAssign = cosCol("embedding", "c_emb")
-    def assignTo(cent: DataFrame): DataFrame =
-      e.crossJoin(broadcast(cent))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("cent_id"), struct(cosAssign, -col("cent_id"))).as("cent_id"))
+    def assignTo(cent: DataFrame): DataFrame = argmaxAssign(e, cent)
     def lloyd(cent: DataFrame): DataFrame = {
       val dims = e.join(assignTo(cent), "vec_id")
         .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos0", "val")))

@@ -467,6 +467,25 @@ object LlmOpsExt {
     * shared shingle ⇒ recall 1, df-prunable at 100 TB); the ONLY
     * differences are the direction-preserving a ≠ b join and the
     * single-size denominator. Both (a⊂b) and (b⊂a) emit independently.
+    *
+    * Scale adjudication (round 9). The join's work is Σ_s df(s)² and the
+    * sf10 sweep read exp 1.01/decade — investigated and measured as a
+    * SYNTHESIS artifact, not an algorithmic flaw: sf0.1→sf1 grows the
+    * shingle vocabulary ×10 with per-shingle df UNCHANGED (median 9,
+    * max 25; Σdf² exactly ×10 — clean Heaps-law scaling, and the join is
+    * linear there), while the ×100 corpus saturates vocabulary (×2.6,
+    * median df 9→36, Σdf² ×38.8 in one decade) — a cost ANY exact
+    * algorithm pays, since those intersections exist in the data. An
+    * AllPairs/PPJoin prefix-filter variant (join only each doc's
+    * ⌊n/5⌋+1 rarest shingles, exact for C ≥ 0.8) was built and measured
+    * against it: on this corpus it emits 117.6M candidate pairs at sf10
+    * (vs ~51k true outputs) because no shingle is rare (min df ≈ 36),
+    * and re-exploding candidates for exact verification costs more than
+    * the 1.08G rows the direct join streams — so the direct
+    * aggregate-direct form is kept. On real web corpora the df
+    * distribution is the opposite (hot stop-shingles, long rare tail)
+    * and the prefix filter is the right escalation; max df here is 100,
+    * so no hot-bucket path is needed.
     */
   val dedupContainment: Q = Q(
     "dedup_containment",
