@@ -241,7 +241,7 @@ object LlmOpsAnn {
     * oracle's row_number uses. Only n-row (vec_id, double/long) frames
     * ever shuffle; the n·k pass stays inside whole-stage codegen.
     */
-  private def argmaxAssign(e: DataFrame, cent: DataFrame): DataFrame = {
+  private[queries] def argmaxAssign(e: DataFrame, cent: DataFrame): DataFrame = {
     val v = e.select(col("vec_id"), col("embedding"))
     val cosAssign = cosCol("embedding", "c_emb")
     val best = v.crossJoin(broadcast(cent))
@@ -254,13 +254,13 @@ object LlmOpsAnn {
       .agg(min(col("cent_id")).as("cent_id"))
   }
 
-  private def cosCol(aEmb: String, bEmb: String): Column = {
+  private[queries] def cosCol(aEmb: String, bEmb: String): Column = {
     import graft.functions.VectorOps
     VectorOps.dot(col(aEmb), col(bEmb)) /
       (sqrt(VectorOps.ssq(col(aEmb))) * sqrt(VectorOps.ssq(col(bEmb))))
   }
 
-  private def duckCos(aEmb: String, bEmb: String): String = {
+  private[queries] def duckCos(aEmb: String, bEmb: String): String = {
     def ssq(c: String) =
       s"list_reduce(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)"
     s"""list_reduce(list_transform(list_zip($aEmb, $bEmb), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)
