@@ -87,6 +87,25 @@ class IvfPqRecallSpec extends SparkSpec {
     }
   }
 
+  test("ann_ivf_pq_rerank top-5 matches the driver-side two-stage replay exactly") {
+    val got = graft.queries.AnnIvfPq.annIvfPqRerank.fn(spark, sf("sf0.01")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.length == queries.size * 5)
+    queries.foreach { q =>
+      val shortlist = adcDistances(q)
+        .map { case (id, d) =>
+          (id, BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .sortBy { case (id, d) => (d, id) }.take(50).map(_._1)
+      val expected = shortlist
+        .map(id => id -> cos(vecs(q), vecs(id)))
+        .sortBy { case (id, c) => (-c, id) }.take(5)
+        .map { case (id, c) =>
+          (id, BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      val mine = got.filter(_._1 == q).sortBy(_._4).map(r => (r._2, r._3)).toSeq
+      assert(mine == expected, s"query $q: $mine vs $expected")
+    }
+  }
+
   test("in-bucket exact top-5 is recalled by the IVFPQ ADC top-50 shortlist") {
     // Probe recall (which buckets nprobe reaches) is ann_ivf_nprobe's
     // concern and is pinned in IvfRecallSpec; THIS gate isolates what

@@ -17,6 +17,7 @@ class PlanQualitySpec extends SparkSpec {
     "ann_ivf_nprobe",      // √n-row centroid assignment cross
     "ann_ivf_kmeans",      // √n-row centroid assignment cross (Lloyd-refined)
     "ann_ivf_pq",          // min(√n,256)-row coarse assignment cross (IVFPQ)
+    "ann_ivf_pq_rerank",   // same IVFPQ pipeline feeding the exact re-rank
     "subquery_scalar",     // scalar subquery joins back as a 1-row cross
     "text_tfidf",          // N-docs scalar joined as 1-row cross
     "dedup_fuzzy_levenshtein", // bounded (≤60-key) all-pairs edit distance
