@@ -51,9 +51,11 @@ object BenchChunk {
       try {
         all(name)(spark, sfDir).count()
         samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+        failed -= name // a success on any pass supersedes an earlier-pass failure
       } catch { case e: Throwable =>
-        failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-          .linesIterator.take(1).mkString.take(200)
+        if (samples(name).isEmpty)
+          failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.take(1).mkString.take(200)
       }
       spark.catalog.clearCache()
     }

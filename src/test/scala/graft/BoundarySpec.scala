@@ -235,6 +235,24 @@ class BoundarySpec extends SparkSpec {
       s"only the contained→container direction may flag: ${got.toSeq}")
   }
 
+  test("dedup_containment df-cap: a pair sharing ONLY stop-shingles (df>32) stays silent") {
+    // doc 1 is one shingle ("aa bb cc") that 33 other docs also carry →
+    // df = 35 > 32 → stop-shingle. Unguarded containment would flag
+    // doc 1 inside every carrier at C = 1.0; the guard leaves doc 1
+    // with zero informative shingles, so it must vanish. The rare-tail
+    // control pair (2 ⊂ 3) must still flag at 1.0.
+    val carriers = (10L to 42L).map(i =>
+      (i, s"aa bb cc x$i y$i z$i", "en", "s"))
+    val d = documentsDir(Seq(
+      (1L, "aa bb cc", "en", "s"),
+      (2L, "pp qq rr ss", "en", "s"),
+      (3L, "pp qq rr ss tt uu", "en", "s")) ++ carriers)
+    val got = graft.queries.LlmOpsExt.dedupContainment.fn(spark, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getLong(3))))
+    assert(got.toSeq === Seq(((2L, 3L), (1.0, 2L))),
+      s"stop-shingle-only pairs must not flag: ${got.toSeq}")
+  }
+
   test("ts_backlog: an order shipping the day it was placed nets to zero") {
     val dir = java.nio.file.Files.createTempDirectory("graft_boundary_bl").toString
     Seq((1L, 50L, 10.0, "2024-01-03 10:00:00"))
