@@ -63,15 +63,48 @@ object BpeOps {
        |                           array(concat(m.l, m.r)))
        |               ELSE concat(a2, array(t)) END))""".stripMargin)
 
+  /** Full-depth merge table as a single-Literal Column — see
+    * [[BpeMergesFull]]. An expr()-parsed `array(named_struct(...))` at
+    * this depth would be 1847 expression nodes in the plan; `typedlit`
+    * collapses the whole table to ONE Literal of ArrayData, so plan
+    * size, analysis time and codegen are independent of tokenizer
+    * depth — the device that keeps a production 50k-merge table
+    * plan-safe.
+    */
+  private val mergesFullLit: Column = typedlit(BpeMergesFull.MERGES_FULL)
+
+  private val mergesFullListDuck: String =
+    "[" + BpeMergesFull.MERGES_FULL
+      .map { case (l, r) => s"['$l', '$r']" }.mkString(", ") + "]"
+
+  /** Column-DSL twin of [[bpeTokensExpr]] at FULL depth: identical fold
+    * semantics (rank-ordered merges, one greedy left-to-right pass
+    * each), but the outer fold iterates the 1847-entry saturation
+    * table. Runs ONLY on the distinct-word vocabulary.
+    */
+  def bpeTokensFullCol(w: Column): Column =
+    aggregate(
+      mergesFullLit,
+      split(w, ""),
+      (acc, m) => aggregate(
+        acc,
+        typedlit(Seq.empty[String]),
+        (a2, t) => when(
+          size(a2) > 0 &&
+            element_at(a2, -1) === m.getField("_1") && t === m.getField("_2"),
+          concat(slice(a2, lit(1), size(a2) - 1),
+            array(concat(m.getField("_1"), m.getField("_2")))))
+          .otherwise(concat(a2, array(t)))))
+
   /** The DuckDB twin of [[bpeTokensExpr]]: list_reduce has no init
     * parameter, so the seed token list rides as the FIRST element of
     * the folded list (types line up — both are LIST(VARCHAR)); each
     * subsequent element is a merge pair. `[:-2]` is DuckDB's
     * all-but-last slice (its -1 bound is inclusive).
     */
-  private def bpeTokensDuck(w: String): String =
+  private def bpeTokensDuck(w: String, merges: String = mergesListDuck): String =
     s"""list_reduce(
-       |    list_concat([string_split($w, '')], $mergesListDuck),
+       |    list_concat([string_split($w, '')], $merges),
        |    (acc, m) -> list_reduce(
        |      list_transform(acc, t -> [t]),
        |      (a2, y) -> CASE WHEN a2[-1] = m[1] AND y[1] = m[2]
@@ -125,6 +158,55 @@ object BpeOps {
       .orderBy(col("doc_id").asc_nulls_first)
   }
 
+  /** Full-depth tokenization beside the 32-merge anchor: per doc, the
+    * whitespace word count and the BPE token count under BOTH tables,
+    * plus the depth gain — what upgrading the tokenizer artifact buys.
+    * The 1847-merge table saturates the synthetic vocabulary, so an
+    * in-vocabulary word folds all the way to ONE token and n_bpe_full
+    * approaches n_words exactly — reaching it requires every link of
+    * each word's merge chain to fire in rank order, which is what makes
+    * the row a deep-fold correctness probe, not a trivial identity.
+    * Scale shape is unchanged from text_bpe_tokens: both folds run on
+    * the distinct-word vocabulary (corpus-bounded by Heaps' law, 31 →
+    * 806 words across three decades here) and join back as broadcast
+    * maps; depth multiplies only the vocabulary-sized work.
+    */
+  val textBpeFull: Q = Q(
+    "text_bpe_full",
+    s"""WITH $wordCtes,
+       |tkf AS (
+       |  SELECT w, CAST(len(${bpeTokensDuck("w", mergesFullListDuck)}) AS BIGINT)
+       |           AS n_tok_full
+       |  FROM wv)
+       |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(tk.n_tok) AS BIGINT) AS n_bpe_anchor,
+       |       CAST(sum(tkf.n_tok_full) AS BIGINT) AS n_bpe_full,
+       |       round(CAST(sum(tkf.n_tok_full) AS DOUBLE) / sum(tk.n_tok), 6)
+       |         AS depth_gain
+       |FROM w JOIN tk ON w.w = tk.w JOIN tkf ON w.w = tkf.w
+       |GROUP BY 1
+       |ORDER BY doc_id NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val fullCounts = T.documents(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .distinct()
+      .select(col("w"),
+        size(bpeTokensFullCol(col("w"))).cast("long").as("n_tok_full"))
+    docWords(s, d)
+      .join(broadcast(wordBpeCounts(s, d)), "w")
+      .join(broadcast(fullCounts), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tok")).as("n_bpe_anchor"),
+        sum(col("n_tok_full")).as("n_bpe_full"))
+      .select(col("doc_id"), col("n_words"), col("n_bpe_anchor"),
+        col("n_bpe_full"),
+        round(col("n_bpe_full").cast("double") / col("n_bpe_anchor"), 6)
+          .as("depth_gain"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
   /** pack_sequences' twin with the REAL token economy: greedy 256-BPE-
     * token bin packing in doc_id order within 32 hash buckets (the
     * bucket count is the parallelism ceiling — size it to the cluster;
@@ -161,5 +243,5 @@ object BpeOps {
       .orderBy(col("pack_bucket"), col("bin_id"))
   }
 
-  def all: Seq[Q] = Seq(textBpeTokens, packSequencesBpe)
+  def all: Seq[Q] = Seq(textBpeTokens, textBpeFull, packSequencesBpe)
 }

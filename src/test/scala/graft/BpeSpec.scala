@@ -46,6 +46,41 @@ class BpeSpec extends SparkSpec {
     assert(tokenize("ere")("ere") == Seq("er", "e"))
   }
 
+  private def tokenizeFull(words: String*): Map[String, Seq[String]] = {
+    import spark.implicits._
+    words.toDF("w")
+      .select(col("w"), BpeOps.bpeTokensFullCol(col("w")).as("toks"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1))
+      .toMap
+  }
+
+  test("full-depth table: in-vocabulary words saturate to ONE token") {
+    // the 1847-merge table was learned to saturation, so every word of
+    // the learning corpus folds all the way down — each one exercises
+    // its complete merge chain in rank order
+    val t = tokenizeFull("spark", "window", "merge", "table", "vector",
+      "column", "filter", "customer")
+    t.foreach { case (w, toks) =>
+      assert(toks == Seq(w), s"$w must fold to a single token, got $toks")
+    }
+    // out-of-vocabulary words still fold PARTIALLY via shared subwords,
+    // never below one token per unseen character
+    val oov = tokenizeFull("qqq")("qqq")
+    assert(oov == Seq("q", "q", "q"))
+  }
+
+  test("full-depth table: anchor and full folds agree at anchor depth prefix") {
+    // the anchor's 32 merges and the full table's first merges are
+    // learned from different corpora, so the TOKENIZATIONS differ; the
+    // invariant that must hold is the count ordering full <= anchor
+    // (more merges never split more) on every vocabulary word
+    val df = BpeOps.textBpeFull.fn(spark, sf())
+    assert(df.filter(col("n_bpe_full") > col("n_bpe_anchor")).count() == 0)
+    assert(df.filter(col("n_bpe_full") < col("n_words")).count() == 0)
+    assert(df.count() > 0)
+  }
+
   test("word counts: n_bpe between n_words and n_chars") {
     val df = BpeOps.textBpeTokens.fn(spark, sf())
     val bad = df
