@@ -450,6 +450,62 @@ object Multimodal {
       }
       bits
     }
+
+    /** 64-bit perceptual audio fingerprint of a PCM16 WAV payload —
+      * chromaprint's core idea (sign bits of band-energy DIFFERENCES
+      * across adjacent time frames) with the spectral estimate replaced
+      * by lag autocorrelation, its Wiener–Khinchin integer-exact proxy:
+      * decode, split into 8 equal time windows, compute per-window
+      * autocorrelations at the 8 Fibonacci lags {1,2,3,5,8,13,21,34}
+      * as pure Long sums over sample pairs FULLY INSIDE the window
+      * (a perturbation confined to window v can therefore move only
+      * windows v−1 and v's bits — the construction bound
+      * [[Multimodal.nearDupAudio]] and its spec rely on), then
+      * bit(8w+j) = 1 iff R_w(L_j) > R_{(w+1)%8}(L_j) — the temporal
+      * difference, which measured both more discriminative (cross-
+      * timbre median Hamming 29 vs 11) and colder-bucketed (max band
+      * bucket 15 vs 38 on the planted fixture) than dHash64's
+      * within-row comparison; the Fibonacci spacing samples the
+      * period-p triangle autocorrelation at varied phases instead of
+      * riding its monotone initial decay. No floats anywhere —
+      * identical across JVMs/platforms.
+      */
+    def audioHash64(bytes: Array[Byte]): Long = {
+      val lags = Array(1, 2, 3, 5, 8, 13, 21, 34)
+      val (_, _, samples) = parseWav(bytes)
+      val n = samples.length
+      require(n >= 64, s"audioHash needs >= 64 samples, got $n")
+      val r = Array.ofDim[Long](8, 8)
+      var w = 0
+      while (w < 8) {
+        val start = w * n / 8
+        val end = (w + 1) * n / 8
+        var j = 0
+        while (j < 8) {
+          val lag = lags(j)
+          var acc = 0L
+          var i = start
+          while (i + lag < end) {
+            acc += samples(i).toLong * samples(i + lag)
+            i += 1
+          }
+          r(w)(j) = acc
+          j += 1
+        }
+        w += 1
+      }
+      var bits = 0L
+      w = 0
+      while (w < 8) {
+        var j = 0
+        while (j < 8) {
+          if (r(w)(j) > r((w + 1) % 8)(j)) bits |= 1L << (w * 8 + j)
+          j += 1
+        }
+        w += 1
+      }
+      bits
+    }
   }
 
   /** Deterministic synthetic asset table derived from a numeric id
@@ -535,6 +591,45 @@ object Multimodal {
       }
       Asset(id, "image", PureCodecs.writeBmp(16, 16, rgb),
         AssetMeta(Some(16), Some(16), None, None))
+    }.toDF()
+  }
+
+  /** Audio-only asset table with PLANTED near-duplicate groups for the
+    * perceptual audio dedup row — [[nearDupImages]]'s PCM16 twin. Ids
+    * in the same `id div 4` group share one base two-tone square wave
+    * (periods p1 = base%37+5, p2 = base%41+3 — 1517 distinct timbres
+    * before the synthesis repeats, the fixture-richness bound); each
+    * non-zero variant overwrites a 6-sample "click" placed ENTIRELY
+    * inside time window v (samples 50v+10..50v+15 of 400), so by
+    * [[PureCodecs.audioHash64]]'s window-confined autocorrelation only
+    * windows v−1 and v's bits can move (R_v feeds those two temporal
+    * comparisons): within-group Hamming ≤ 16 against the canonical,
+    * ≤ 24 for adjacent variants and ≤ 32 for the v=1/v=3 pair (four
+    * distinct touched windows; measured ≤ 17 across 25 timbres), and
+    * with v ∈ {1,2,3} every group-mate pair agrees EXACTLY on bands 2
+    * and 3 — banded recall 1 by construction, which AudioHashDedupSpec
+    * gates against exact sample distance.
+    */
+  def nearDupAudio(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].map { id =>
+      val base = id / 4
+      val p1 = (base % 37 + 5).toInt
+      val p2 = (base % 41 + 3).toInt
+      val amp = 8000
+      val samples = Array.tabulate(400) { i =>
+        val t1 = if ((i / p1) % 2 == 0) amp else -amp
+        val t2 = if ((i / p2) % 2 == 0) amp / 4 else -amp / 4
+        (t1 + t2).toShort
+      }
+      val v = (id % 4).toInt
+      if (v > 0) {
+        var i = 0
+        while (i < 6) { samples(50 * v + 10 + i) = (amp / 2).toShort; i += 1 }
+      }
+      Asset(id, "audio", PureCodecs.writeWav(samples, 16000),
+        AssetMeta(None, None, Some(16000), None))
     }.toDF()
   }
 

@@ -63,5 +63,53 @@ object MultimodalDedup {
       .orderBy(col("hamming").asc_nulls_first)
   }
 
-  def all: Seq[Q] = Seq(multimodalPhashDedup)
+  /** Perceptual audio dedup (VERDICT r9 item 5) — the PCM16 twin of
+    * the image row, completing the image/audio symmetry of the
+    * multimodal↔dedup bridge. Pipeline: decode WAV payloads → 64-bit
+    * autocorrelation-sign fingerprint (PureCodecs.audioHash64, pure
+    * Long arithmetic, one codec pass per partition) → the SAME
+    * 4×16-bit banded Hamming join with the hot-bucket (> 64)
+    * suppression cap → exact Hamming verification → confirmed-pair
+    * histogram. Group-mate pairs agree exactly on bands 2 and 3 by the
+    * fixture's window-confinement construction, so banded recall is 1
+    * (AudioHashDedupSpec gates it against exact sample distance); the
+    * cap guards the degenerate tail when the synthesis's 1517 distinct
+    * timbres saturate at corpus scale — identical-timbre floods drop
+    * their non-discriminative buckets, not the assets. The confirm
+    * threshold 24 sits between the measured within-group maximum (17)
+    * and the cross-timbre median (29) — a tuned knob, like every
+    * perceptual-dedup radius.
+    */
+  val multimodalAudiohashDedup: Q = Q.noOracle("multimodal_audiohash_dedup") { (s, d) =>
+    import s.implicits._
+    val assets = Multimodal
+      .nearDupAudio(s, T.documents(s, d).select(col("doc_id")), "doc_id")
+      .as[Multimodal.Asset]
+    val fp = assets.mapPartitions { it =>
+      it.map(a => (a.asset_id, Multimodal.PureCodecs.audioHash64(a.content)))
+    }.toDF("asset_id", "h")
+    val bands = fp.select(col("asset_id"), col("h"),
+        explode(sequence(lit(0), lit(3))).as("j"))
+      .select(col("asset_id"), col("h"), col("j"),
+        expr("(h >> (j * 16)) & 65535").as("k"))
+    val coldBuckets = bands.groupBy(col("j"), col("k"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= 64)
+      .select(col("j"), col("k"))
+    val kept = bands.join(broadcast(coldBuckets), Seq("j", "k"))
+    val cand = kept.as("x").join(kept.as("y"),
+        col("x.j") === col("y.j") && col("x.k") === col("y.k")
+          && col("x.asset_id") < col("y.asset_id"))
+      .select(col("x.asset_id").as("a"), col("x.h").as("ha"),
+        col("y.asset_id").as("b"), col("y.h").as("hb"))
+      .distinct()
+    cand
+      .select(col("a"), col("b"), expr("bit_count(ha ^ hb)").as("hamming"))
+      .filter(col("hamming") <= 24)
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("hamming").asc_nulls_first)
+  }
+
+  def all: Seq[Q] = Seq(multimodalPhashDedup, multimodalAudiohashDedup)
 }
