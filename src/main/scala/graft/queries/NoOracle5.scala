@@ -93,5 +93,18 @@ object NoOracle5 {
     graft.streaming.StreamOps.progressMetrics(T.events(s, d))
   }
 
-  def all: Seq[Q] = Seq(parquetBloom, streamProgress)
+  /** B36 — exactly-once under duplicate-batch replay: commits/0 is
+    * deleted from the checkpoint after a committed Upsert-sink run (the
+    * on-disk state a crash between sink write and commit record
+    * leaves), the restart re-executes batch 0 with identical data, and
+    * the lake audit must be byte-identical before/after — then the
+    * stream continues with new data on top. `batch0_runs = 2` is the
+    * replayed-batch flag. See
+    * [[graft.streaming.StreamOps.replayedBatchConvergence]].
+    */
+  val streamReplay: Q = Q.noOracle("b36_stream_replay") { (s, d) =>
+    graft.streaming.StreamOps.replayedBatchConvergence(T.events(s, d))
+  }
+
+  def all: Seq[Q] = Seq(parquetBloom, streamProgress, streamReplay)
 }

@@ -298,4 +298,87 @@ object StreamOps {
         .orderBy(col("phase").asc_nulls_first)
     } finally s.streams.removeListener(listener)
   }
+
+  /** B36: exactly-once evidence under DUPLICATE-BATCH REPLAY — the
+    * failure Structured Streaming's commit protocol actually leaves
+    * open: a crash BETWEEN a sink's write and the commit-log record
+    * makes the engine re-execute the already-written micro-batch on
+    * restart, so any foreachBatch sink sees the same (batchId, data)
+    * twice and "exactly-once" holds only if the sink is idempotent.
+    * The harness forces that exact window: run an Upsert-sink stream
+    * over batch 1, stop, DELETE the checkpoint's commits/0 entry while
+    * keeping offsets/0 (a checkpoint rollback — the on-disk state a
+    * mid-commit crash leaves), restart, and let Spark re-execute batch
+    * 0 with identical data against the already-merged lake. The row
+    * reports the lake's (n, xxhash64-XOR) audit before and after the
+    * replay — convergence means byte-identical state — plus a third
+    * leg proving the replay then CONTINUES normally (new data batch
+    * merges on top). `batch0_runs = 2` is the replayed-batch flag: it
+    * certifies the duplicate delivery actually happened rather than
+    * the engine silently skipping the batch. Keyed merge (latest-wins
+    * by version) is what makes the sink idempotent; a blind-append
+    * sink under the same harness would double every batch-1 row.
+    */
+  def replayedBatchConvergence(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val slice = events
+      .select(col("event_id"), col("event_type"),
+        // tuple-encoded collect: primitive slots can't carry NULL (the
+        // null-injected corpus), so value/ts default — harness payload,
+        // not a semantic aggregate
+        coalesce(col("value"), lit(0.0)).as("value"),
+        coalesce(unix_micros(col("ts")), lit(0L)).as("ts_us"))
+      .filter(col("event_id") % 50 === 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3)))
+    val (h1, h2) = slice.partition(_._1 % 100 == 0)
+    val token = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft_b36_ckpt_$token").toString
+    val lake = java.nio.file.Files.createTempDirectory(s"graft_b36_lake_$token").toString + "/lake"
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Double, Long)]
+    val batchRuns = new java.util.concurrent.ConcurrentHashMap[Long, Integer]()
+    val upserts = mem.toDS()
+      .toDF("event_id", "event_type", "value", "ts_us")
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batchRuns.merge(id, 1, (a: Integer, b: Integer) => a + b)
+        graft.operators.Upsert.merge(
+          batch.sparkSession, lake, batch.toDF(), Seq("event_id"), "ts_us")
+      }
+    def runOnce(): Unit = {
+      val q = upserts.start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
+    mem.addData(h1.toIndexedSeq)
+    runOnce()
+    val audit1 = graft.ingest.LoadAudit.audit(s.read.parquet(lake))
+    // checkpoint rollback: offsets/0 stays, commits/0 goes — the state
+    // a crash between sink write and commit record leaves behind
+    val removed = new java.io.File(s"$ckpt/commits/0").delete()
+    require(removed, s"commit log entry missing at $ckpt/commits/0")
+    // the local FS keeps a checksum sidecar next to the entry; the
+    // re-commit's rename refuses to overwrite it if left behind
+    new java.io.File(s"$ckpt/commits/.0.crc").delete()
+    runOnce() // re-executes batch 0 with identical data
+    val audit2 = graft.ingest.LoadAudit.audit(s.read.parquet(lake))
+    mem.addData(h2.toIndexedSeq)
+    runOnce() // and the stream continues normally past the replay
+    val audit3 = graft.ingest.LoadAudit.audit(s.read.parquet(lake))
+    val expectedFinal = slice.length.toLong // event_id is unique per row
+    Seq(
+      ("run1_committed", audit1.nRows, audit1.checksum,
+        audit1.nRows == h1.length.toLong),
+      ("replay_converged", audit2.nRows, audit2.checksum, audit2 == audit1),
+      ("resumed_after_replay", audit3.nRows, audit3.checksum,
+        audit3.nRows == expectedFinal),
+      ("batch0_runs", batchRuns.getOrDefault(0L, 0).toLong, 0L,
+        batchRuns.getOrDefault(0L, 0) == 2))
+      .toDF("stage", "n_rows", "checksum", "as_declared")
+      .orderBy(col("stage").asc_nulls_first)
+  }
 }

@@ -289,4 +289,21 @@ class StreamOpsSpec extends SparkSpec {
     assert(ids.exists(_ % 100 == 0) && ids.exists(_ % 100 != 0),
       "slice halves degenerate — restart not exercised")
   }
+
+  test("duplicate-batch replay: Upsert sink converges, batch 0 runs twice") {
+    val got = StreamOps.replayedBatchConvergence(graft.Tables.events(spark, sf()))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    // the replay actually happened — foreachBatch saw (0, data) twice
+    assert(got("batch0_runs") == ((2L, 0L, true)), s"$got")
+    // and converged: identical lake audit before/after the re-execution
+    assert(got("replay_converged")._3, s"lake diverged under replay: $got")
+    assert(got("replay_converged")._1 == got("run1_committed")._1 &&
+      got("replay_converged")._2 == got("run1_committed")._2)
+    // then the stream kept going: second half merged on top
+    assert(got("resumed_after_replay")._3, s"stream did not resume: $got")
+    assert(got("resumed_after_replay")._1 > got("run1_committed")._1)
+  }
 }
