@@ -168,7 +168,7 @@ object SegmentOps {
       |  SELECT c_mktsegment, cents,
       |         row_number() OVER (PARTITION BY c_mktsegment
       |                            ORDER BY cents ASC, c_custkey ASC) AS i
-      |  FROM spend)
+      |  FROM spend WHERE cents IS NOT NULL)
       |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
       |       round(CAST(2 * sum(CAST(i AS DECIMAL(38,0)) * cents)
       |                  - (count(*) + 1) * CAST(sum(cents) AS DECIMAL(38,0)) AS DOUBLE)
@@ -185,7 +185,14 @@ object SegmentOps {
     // s1 = Σ i·cents summed in DECIMAL(38,0) on BOTH engines (the
     // supplier_herfindahl pattern): a long sum would wrap silently in
     // Spark while DuckDB promotes to HUGEINT — divergent failure modes.
-    spend.withColumn("i", row_number().over(w).cast("long"))
+    // cents IS NULL (a customer whose every order price is unknown) is
+    // EXCLUDED before ranking, pinned identically in the oracle: the
+    // engines disagree on where ASC ranks NULLs (Spark first, DuckDB
+    // last), which silently shifts every measurable customer's rank —
+    // the r10 sf1 null-sweep find, invisible at sf0.01 where no
+    // customer has all orders nulled.
+    spend.filter(col("cents").isNotNull)
+      .withColumn("i", row_number().over(w).cast("long"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"),
         sum(col("i").cast("decimal(38,0)") * col("cents")).as("s1"),

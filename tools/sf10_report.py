@@ -2,9 +2,11 @@
 """Fold a full-surface sf10 bench run against the repo's sf0.1 bench
 sidecar into the per-decade exponent table BASELINE.md §sf10-full wants.
 
-Usage: python3 tools/sf10_report.py /tmp/sf10bench/out.log [topN]
+Usage: python3 tools/sf10_report.py /tmp/sf10bench/out.log [topN] [sf01_sidecar]
 Reads the FIRST json line of the sf10 run (full per-query map) and
-bench_per_query.json (sf0.1, driver round artifact). exp/decade =
+the sf0.1 per-query sidecar (default bench_per_query.json, the driver
+round artifact; pass a fresh graft.Bench output when new keys are not
+in the driver artifact yet). exp/decade =
 log10(t_sf10 / t_sf01) / 2; < 1.0 = sub-linear over two decades.
 """
 import json
@@ -13,10 +15,11 @@ import sys
 
 sf10_log = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10bench/out.log"
 top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 25
+sf01_path = sys.argv[3] if len(sys.argv) > 3 else "bench_per_query.json"
 
 line10 = next(l for l in open(sf10_log) if l.startswith('{"metric"'))
 b10 = json.loads(line10)
-b01 = json.load(open("bench_per_query.json"))
+b01 = json.load(open(sf01_path))
 
 q10, q01 = b10["queries"], b01["queries"]
 common = sorted(set(q10) & set(q01))
