@@ -71,7 +71,9 @@ class PlanQualitySpec extends SparkSpec {
     "b33_graph_mst",       // 1-row (np, tw) threshold cross in the edge derivation (graph_triangles' shape)
     "data_split_grouped",  // 1-row leakage-audit aggregate crossed into the |splits|-row report
     "eval_ndcg_rankshift", // 1-row IDCG constant crossed into the 1-row DCG aggregate
-    "ts_peak_composition") // 1-row corpus-total aggregate crossed into the 5·|types|-row peak table
+    "ts_peak_composition", // 1-row corpus-total aggregate crossed into the 5·|types|-row peak table
+    "dedup_semdedup",      // 1-row k cross + min(√n,256)-row centroid assignment cross (ann_ivf_* shape)
+    "quality_gopher_rules") // 1-row top-8 stopword list crossed into the per-doc rule projection
     // join_null_safe needs no excuse: EqualNullSafe is a hash-joinable key (BroadcastHashJoin verified)
     // dedup_embedding was allowlisted through r2 (all-pairs BNLJ); it is
     // now banded sign-LSH with an equi-join — no cross join to excuse
