@@ -23,6 +23,24 @@ object LlmOpsExt {
     * shuffle/compare key instead of a ~20-byte string; both engines
     * derive identical codes, so any (2⁻⁶⁰) collision affects both sides
     * identically and the compare stays exact.
+    *
+    * Round-11 guard (ports dedup_containment's round-10 df-cap, which
+    * this row measurably needed: sf1 12.2 s → sf10 212.8 s, exp
+    * 1.24/decade in the r10 sweep — the same Σdf² shingle-vocabulary
+    * saturation, candidate volume ×38.8 at the second decade). Shingles
+    * with corpus df > 32 are STOP-SHINGLES, excluded from BOTH the
+    * intersection and the union denominator, so Jaccard is measured
+    * over each doc's informative shingles and stays exact with recall 1
+    * for that filtered measure (filtered J ≥ 0.1 ⇒ i ≥ 1 ⇒ a shared
+    * kept shingle survives the equi-join). Documented bound, as for
+    * containment: a pair similar ONLY through ultra-common boilerplate
+    * shingles becomes invisible — dedup_paragraph's exact-block channel
+    * covers that class. The cap sits above every oracle corpus's max df
+    * (25 at sf1, less below), so declared results are bit-identical;
+    * the guard only engages on the ×100 synthesis where vocabulary
+    * saturates. Both corpus-proportional joins are pinned shuffle_hash
+    * and the df filter, sizes aggregate and self-join all hash by the
+    * same key, so the distinct-shingle exchange is reused.
     */
   val dedupNgramJaccard: Q = Q(
     "dedup_ngram_jaccard",
@@ -37,11 +55,15 @@ object LlmOpsExt {
       |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
       |    FROM tk
       |  )
+      |), shdf AS (
+      |  SELECT s, count(*) AS df FROM sh GROUP BY s
+      |), shk AS (
+      |  SELECT sh.doc_id, sh.s FROM sh JOIN shdf USING (s) WHERE shdf.df <= 32
       |), sizes AS (
-      |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+      |  SELECT doc_id, count(*) AS n FROM shk GROUP BY doc_id
       |), inter AS (
       |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
-      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  FROM shk a JOIN shk b ON a.s = b.s AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2
       |)
       |SELECT a, b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
@@ -65,8 +87,14 @@ object LlmOpsExt {
       .select(col("doc_id"),
         expr("CAST(conv(substring(md5(sStr), 1, 15), 16, 10) AS BIGINT)").as("s"))
       .distinct()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("x").join(sh.as("y"),
+    // df-cap stop-shingle guard (see scaladoc): corpus-hot shingles
+    // (df > 32) leave both the intersection and the union
+    val shdf = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val shk = sh.hint("shuffle_hash")
+      .join(shdf.filter(col("df") <= 32), Seq("s"))
+      .select(col("doc_id"), col("s"))
+    val sizes = shk.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = shk.as("x").hint("shuffle_hash").join(shk.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(count(lit(1)).as("i"))

@@ -253,6 +253,26 @@ class BoundarySpec extends SparkSpec {
       s"stop-shingle-only pairs must not flag: ${got.toSeq}")
   }
 
+  test("dedup_ngram_jaccard df-cap: a pair similar ONLY through stop-shingles (df>32) stays silent") {
+    // docs 1 and 2 share one shingle ("aa bb cc") that 33 other docs
+    // also carry → df = 35 > 32 → stop-shingle. Unguarded Jaccard would
+    // flag (1,2); the guard removes the shingle from intersection AND
+    // union, leaving them with no shared kept shingle. The rare-tail
+    // control pair (3,4) shares 2 of 3 kept shingles (J = 2/4 = 0.5)
+    // and must still flag.
+    val carriers = (10L to 42L).map(i =>
+      (i, s"aa bb cc x$i y$i z$i", "en", "s"))
+    val d = documentsDir(Seq(
+      (1L, "aa bb cc dd ee ff", "en", "s"),
+      (2L, "aa bb cc gg hh ii", "en", "s"),
+      (3L, "pp qq rr ss tt", "en", "s"),
+      (4L, "pp qq rr ss uu", "en", "s")) ++ carriers)
+    val got = graft.queries.LlmOpsExt.dedupNgramJaccard.fn(spark, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(got.toSeq === Seq(((3L, 4L), 0.5)),
+      s"stop-shingle-only pairs must not flag: ${got.toSeq}")
+  }
+
   test("ts_backlog: an order shipping the day it was placed nets to zero") {
     val dir = java.nio.file.Files.createTempDirectory("graft_boundary_bl").toString
     Seq((1L, 50L, 10.0, "2024-01-03 10:00:00"))
