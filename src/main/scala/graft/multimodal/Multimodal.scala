@@ -50,6 +50,16 @@ object Multimodal {
     */
   object PureCodecs {
 
+    // ImageIO defaults to a FILE-BACKED stream cache: every read/write
+    // creates+deletes a temp file under java.io.tmpdir. The MJPEG path
+    // does 4 encodes + 4 decodes per video asset, so at sf10 that is
+    // ~10⁶ temp-file creations racing the shuffle spill for /tmp
+    // metadata — measured as the codec rows' anomalous ~130×/decade
+    // constant in the r10 sweep (plan itself is linear). Our payloads
+    // are KBs; heap-backed streams are strictly better. Per-JVM static,
+    // set once when the codec class loads on each executor.
+    javax.imageio.ImageIO.setUseCache(false)
+
     // ---- little-endian helpers -------------------------------------
     private def le16(v: Int): Array[Byte] =
       Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
