@@ -17,13 +17,18 @@ object PlanAudit {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // mode "cross" prints CartesianProduct+BroadcastNestedLoopJoin node
+    // counts instead (feeds PlanQualitySpec's per-query expected counts)
+    val pattern =
+      if (args.drop(1).headOption.contains("cross")) "CartesianProduct|BroadcastNestedLoopJoin"
+      else "SortAggregate"
     SparkEntry.declared.foreach { q =>
       val plan =
         try q.fn(spark, sfDir).queryExecution.sparkPlan.toString()
         catch { case e: Throwable => s"PLAN-FAILED ${e.getMessage}" }
-      val n = "SortAggregate".r.findAllIn(plan).size
+      val n = pattern.r.findAllIn(plan).size
       if (n > 0 || plan.startsWith("PLAN-FAILED"))
-        println(f"$n%3d  ${q.name}%-28s ${plan.linesIterator.find(_.contains("SortAggregate")).map(_.trim.take(120)).getOrElse(plan.take(80))}")
+        println(f"$n%3d  ${q.name}%-28s ${plan.linesIterator.find(_.trim.matches(s".*($pattern).*")).map(_.trim.take(120)).getOrElse(plan.take(80))}")
     }
     spark.stop()
   }

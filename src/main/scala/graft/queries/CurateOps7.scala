@@ -219,5 +219,127 @@ object CurateOps7 {
       .orderBy(col("cent_id").asc_nulls_first)
   }
 
-  val all: Seq[Q] = Seq(dedupSubstring, dedupSemdedup)
+  /** SemDeDup with the production per-cluster size cap — the scale
+    * mitigation [[dedupSemdedup]]'s scaladoc names, as code (VERDICT
+    * r10 item 6). Same routing (√n∧256 broadcast argmax) and the same
+    * cosine ≥ 0.9 pair rule, but each cluster is split into
+    * ⌈|c|/M⌉ SUB-BUCKETS of at most M = 32 members and the pair scan
+    * runs only within a (cluster, bucket) cell. Bucketing is
+    * deterministic: members rank within their cluster by
+    * (cos-to-centroid DESC, vec_id ASC) — both engines share the
+    * fold-exact cosine, so ranks and buckets compare bit-for-bit —
+    * and bucket = (rank−1) div M.
+    *
+    * Why rank by centroid affinity: near-duplicates have near-equal
+    * cosine to their centroid, so they land in the same or adjacent
+    * buckets; the recall loss is only pairs straddling a bucket
+    * boundary (measured: the capped row recovers ≥ 90 % of the
+    * uncapped row's removals on the declared corpus — SemDedupCapSpec
+    * pins it), plus the cross-cluster loss the paper already accepts.
+    *
+    * Scale posture: each member pairs with < M others, so the scan is
+    * ≤ n·(M−1)/2 rows — LINEAR in n for fixed M, vs the published
+    * row's Σ|cluster|² (n^1.5 under the √n codebook, → n²/k past the
+    * k = 256 cap). The rank window shuffles by cent_id once and the
+    * pair join shuffles by (cent_id, bkt) — narrow keys, no skew (no
+    * cell exceeds M rows BY CONSTRUCTION, so AQE has nothing to
+    * repair). This is the 100 TB path; the uncapped row stays as the
+    * published-exact oracle anchor.
+    */
+  val dedupSemdedupCapped: Q = Q(
+    "dedup_semdedup_capped", {
+      def cos(a: String, b: String) =
+        s"""(list_reduce(list_transform(list_zip($a, $b), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)
+           |  / (sqrt(list_reduce(list_transform($a, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
+           |   * sqrt(list_reduce(list_transform($b, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))))""".stripMargin
+      s"""WITH emb AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+         |aug AS (
+         |  SELECT vec_id, embedding FROM emb
+         |  UNION ALL
+         |  SELECT vec_id + 100000,
+         |         list_concat(embedding[1:62], [CAST(0 AS FLOAT), CAST(0 AS FLOAT)])
+         |  FROM emb),
+         |cent AS (
+         |  SELECT vec_id AS cent_id, embedding AS c_emb FROM aug
+         |  WHERE vec_id < (SELECT CAST(least(ceil(sqrt(count(*))), 256) AS BIGINT) FROM aug)),
+         |assign AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT v.vec_id, c.cent_id,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |                              ORDER BY ${cos("v.embedding", "c.c_emb")} DESC, c.cent_id ASC) AS rn
+         |    FROM aug v CROSS JOIN cent c
+         |  ) WHERE rn = 1),
+         |m AS (
+         |  SELECT a.cent_id, e.vec_id, e.embedding,
+         |         ${cos("e.embedding", "c.c_emb")} AS ccos
+         |  FROM aug e JOIN assign a ON e.vec_id = a.vec_id
+         |  JOIN cent c ON a.cent_id = c.cent_id),
+         |mb AS (
+         |  SELECT cent_id, vec_id, embedding,
+         |         CAST((row_number() OVER (PARTITION BY cent_id
+         |                ORDER BY ccos DESC, vec_id ASC) - 1) // 32 AS BIGINT) AS bkt
+         |  FROM m),
+         |pairs AS (
+         |  SELECT x.cent_id, x.vec_id AS keep_id, y.vec_id AS drop_id
+         |  FROM mb x JOIN mb y
+         |    ON x.cent_id = y.cent_id AND x.bkt = y.bkt AND x.vec_id < y.vec_id
+         |  WHERE ${cos("x.embedding", "y.embedding")} >= 0.9),
+         |stats AS (
+         |  SELECT cent_id, CAST(count(*) AS BIGINT) AS n_members,
+         |         CAST(count(DISTINCT bkt) AS BIGINT) AS n_buckets
+         |  FROM mb GROUP BY 1),
+         |ps AS (
+         |  SELECT cent_id, CAST(count(*) AS BIGINT) AS n_dup_pairs,
+         |         CAST(count(DISTINCT drop_id) AS BIGINT) AS n_removed
+         |  FROM pairs GROUP BY 1)
+         |SELECT s.cent_id, s.n_members, s.n_buckets,
+         |       coalesce(ps.n_dup_pairs, 0) AS n_dup_pairs,
+         |       coalesce(ps.n_removed, 0) AS n_removed
+         |FROM stats s LEFT JOIN ps ON s.cent_id = ps.cent_id
+         |ORDER BY s.cent_id NULLS FIRST""".stripMargin
+    }
+  ) { (s, d) =>
+    val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull)
+    val planted = e.select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      concat(slice(col("embedding"), 1, 62), array(lit(0f), lit(0f))).as("embedding"))
+    val aug = e.unionByName(planted)
+    val kRow = aug.agg(least(ceil(sqrt(count(lit(1)))), lit(256)).cast("long").as("k"))
+    val cent = aug.crossJoin(broadcast(kRow)).filter(col("vec_id") < col("k"))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
+    val assign = LlmOpsAnn.argmaxAssign(aug, cent)
+    // centroid re-attach is a broadcast (k ≤ 256 rows); ccos orders the
+    // deterministic sub-bucketing
+    val m = aug.join(assign, "vec_id")
+      .join(broadcast(cent), "cent_id")
+      .select(col("cent_id"), col("vec_id"), col("embedding"),
+        LlmOpsAnn.cosCol("embedding", "c_emb").as("ccos"))
+    val wRank = Window.partitionBy(col("cent_id"))
+      .orderBy(col("ccos").desc, col("vec_id").asc)
+    val mb = m
+      .withColumn("bkt", ((row_number().over(wRank) - 1) / 32).cast("long"))
+      .select(col("cent_id"), col("vec_id"), col("embedding"), col("bkt"))
+    val cosPair = LlmOpsAnn.cosCol("x.embedding", "y.embedding")
+    val pairs = mb.as("x").join(mb.as("y"),
+        col("x.cent_id") === col("y.cent_id") && col("x.bkt") === col("y.bkt") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .filter(cosPair >= 0.9)
+      .select(col("x.cent_id").as("cent_id"), col("x.vec_id").as("keep_id"),
+        col("y.vec_id").as("drop_id"))
+    val stats = mb.groupBy(col("cent_id"))
+      .agg(count(lit(1)).cast("long").as("n_members"),
+        countDistinct(col("bkt")).cast("long").as("n_buckets"))
+    val ps = pairs.groupBy(col("cent_id"))
+      .agg(count(lit(1)).cast("long").as("n_dup_pairs"),
+        countDistinct(col("drop_id")).cast("long").as("n_removed"))
+    stats.join(ps, Seq("cent_id"), "left")
+      .select(col("cent_id"), col("n_members"), col("n_buckets"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+      .orderBy(col("cent_id").asc_nulls_first)
+  }
+
+  val all: Seq[Q] = Seq(dedupSubstring, dedupSemdedup, dedupSemdedupCapped)
 }

@@ -98,4 +98,26 @@ class CurateOps7Spec extends SparkSpec {
     assert(nRemoved > 0.6 * nOrig, s"removed $nRemoved of $nOrig planted")
     assert(nRemoved <= nOrig, s"removed $nRemoved exceeds planted $nOrig")
   }
+
+  test("dedup_semdedup_capped: cap engages, buckets bound by 32, recall >= 0.9 of uncapped") {
+    // sf0.01 so clusters actually exceed M = 32 (measured max 49 → 2
+    // buckets) — at sf0.001 the cap never engages and the test would
+    // pass vacuously
+    val capped = CurateOps7.dedupSemdedupCapped.fn(spark, sf("sf0.01")).collect()
+    val uncapped = CurateOps7.dedupSemdedup.fn(spark, sf("sf0.01")).collect()
+    // per-cluster: n_buckets is exactly ceil(n_members / 32) — the cap
+    // is structural, not best-effort
+    capped.foreach { r =>
+      val (members, buckets) = (r.getLong(1), r.getLong(2))
+      assert(buckets == (members + 31) / 32,
+        s"cluster ${r.getLong(0)}: $members members, $buckets buckets")
+    }
+    assert(capped.exists(_.getLong(2) > 1), "cap never engaged — fixture too small")
+    val removedCapped = capped.map(_.getLong(4)).sum
+    val removedUncapped = uncapped.map(_.getLong(3)).sum
+    // centroid-affinity rank ordering keeps near-dups in the same
+    // bucket; only boundary-straddling pairs are lost (measured 0.97)
+    assert(removedCapped >= 0.9 * removedUncapped,
+      s"capped recall ${removedCapped.toDouble / removedUncapped} < 0.9")
+  }
 }

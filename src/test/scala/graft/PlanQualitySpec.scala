@@ -7,88 +7,97 @@ package graft
   */
 class PlanQualitySpec extends SparkSpec {
 
-  // queries whose SEMANTICS are a cross join / all-pairs compare
-  private val intendedCross = Set(
-    "join_cross_small",    // literal CROSS JOIN row
-    "sim_cosine_topk", "sim_threshold_join",  // bounded all-pairs compares
-    "dedup_simhash",       // fingerprint all-pairs histogram
-    "text_langid",         // 5-row broadcast profile cross
-    "ann_ivf_topk",        // 16-row centroid assignment cross
-    "ann_ivf_nprobe",      // √n-row centroid assignment cross
-    "ann_ivf_kmeans",      // √n-row centroid assignment cross (Lloyd-refined)
-    "ann_ivf_pq",          // min(√n,256)-row coarse assignment cross (IVFPQ)
-    "ann_ivf_pq_rerank",   // same IVFPQ pipeline feeding the exact re-rank
-    "subquery_scalar",     // scalar subquery joins back as a 1-row cross
-    "text_tfidf",          // N-docs scalar joined as 1-row cross
-    "dedup_fuzzy_levenshtein", // bounded (≤60-key) all-pairs edit distance
-    "ts_gapfill_locf",     // 1-row bounds aggregate crossed into the grid generator
-    "ts_resample_interp",  // same 1-row bounds cross as ts_gapfill_locf's grid
-    "scd2_asof_lookup",    // 1-row bounds aggregate crossed into the probe generator
-    "zorder_layout",       // 1-row min/max bounds crossed in for rank normalization
-    "dq_drift_psi",        // 1-row time/value bounds crossed in for bucketing
-    "dq_freshness",        // 1-row global-max aggregate crossed into the per-series frame (r6, replaced the unpartitioned window)
-    "tpch_q11",            // 1-row global-total threshold crossed into the grouped frame
-    "tpch_q22",            // 1-row avg-balance scalar crossed into the customer subset
-    "text_bigram_logprob", // 1-row corpus-total aggregate crossed into the model join
-    "rfm_segment",         // 1-row anchor + 1-row quintile-cutpoint aggregates crossed in
-    "benford_digits",      // 1-row corpus-total aggregate crossed into the digit counts
-    "text_bm25",           // 1-row corpus (N, Σdl) aggregate crossed into the tf/df join
-    "survival_km",         // 1-row max-date aggregate crossed into the subject table
-    "mutual_info",         // 1-row corpus-total aggregate crossed into the cell table
-    "assoc_rules",         // 1-row basket-total aggregate crossed into the pair supports
-    "stats_chi2",          // 1-row total + 1-row dims aggregates crossed into the ≤25-cell table
-    "graph_triangles",     // 1-row (np, tw) threshold crossed into the |nations|²-bounded pair table
-    "stats_ks",            // 1-row (n0, n1) totals crossed into the distinct-cents ECDF
-    "stats_bootstrap",     // 40-row replicate table + 1-row (n, Σ) aggregate crossed into the draws
-    "ts_acf",              // 6-row lag table crossed into the calendar-bounded hourly aggregate
-    "text_collocations",   // 1-row corpus-total aggregates crossed into the PMI join
-    "graph_shortest_path", // 1-row (np, tw) threshold cross in the edge derivation (graph_triangles' shape)
-    "embedding_cov",       // 15-row (i,j) dimension-pair table crossed into the quantized corpus
-    "graph_node_jaccard",  // 1-row (np, tw) threshold cross in the edge derivation (graph_triangles' shape)
-    "stats_mann_whitney",  // 1-row bin-prefix/totals aggregates crossed into the rank cumulative
-    "ts_theil_sen",        // pairwise non-equi self-join over the CALENDAR-BOUNDED daily aggregate + 1-row n_days cross
-    "ts_downsample_lttb",  // 1-row min-epoch aggregate crossed into the hour rebase
-    "b10_hll_merge",       // 1-row direct-sketch aggregate crossed against the merged sketch
-    "stats_levene_bf",     // 1-row global-F aggregate crossed into the 5-row per-group profile
-    "stats_jensen_shannon", // 1-row (n0, n1) totals crossed into the ≤5-row priority cells
-    "ts_changepoint_mean", // 1-row (n, Σ, Σ²) totals crossed into the CALENDAR-BOUNDED daily cumulative
-    "graph_assortativity", // 1-row (np, tw) threshold cross in the edge derivation (graph_triangles' shape)
-    "stats_cond_entropy",  // 1-row corpus-total aggregate crossed into the ≤25-cell entropy terms
-    "text_burstiness",     // 1-row doc-count aggregate crossed into the 20-row top-word table
-    "dq_referential",      // 1-row orphan-count aggregate crossed into each FK edge's 1-row child count
-    "mixture_temperature", // 1-row total + 1-row normalizer aggregates crossed into the |langs|-row share table
-    "ts_spectral_peak",    // 4-row period table + 1-row totals crossed into the CALENDAR-BOUNDED hourly aggregate
-    "ts_heatmap_hour_dow", // 1-row total crossed into the 7×24-bounded cell table
-    "ts_max_deficit",      // 1-row (n, Σ) totals crossed into the CALENDAR-BOUNDED daily cumulative
-    "eval_langid_kappa",   // 1-row chance-agreement aggregate crossed into the 1-row (n, diag) totals (langid pipeline inside)
-    "graph_reciprocity",   // 1-row threshold + 1-row counts crossed around the |nations|²-bounded edge list
-    "stats_kendall_tau",   // pairwise non-equi self-join over the CALENDAR-BOUNDED daily aggregate + 1-row n cross (ts_theil_sen's shape)
-    "stats_qq",            // two 1-row decile-grid aggregates crossed (1×1)
-    "ts_ccf",              // 7-row lag table crossed into the calendar-bounded hourly aggregates (ts_acf's shape)
-    "graph_closeness",     // 1-row (np, tw) threshold cross in the edge derivation (graph_triangles' shape)
-    "embedding_pca_top",   // 2080-row (i≤j) dimension-pair table crossed into the quantized corpus (embedding_cov's shape)
-    "ts_seasonal_anomaly", // 1-row bounds/median/MAD aggregates crossed into the CALENDAR-BOUNDED hour spine (ts_gapfill_locf's idiom)
-    "b33_graph_mst",       // 1-row (np, tw) threshold cross in the edge derivation (graph_triangles' shape)
-    "data_split_grouped",  // 1-row leakage-audit aggregate crossed into the |splits|-row report
-    "eval_ndcg_rankshift", // 1-row IDCG constant crossed into the 1-row DCG aggregate
-    "ts_peak_composition", // 1-row corpus-total aggregate crossed into the 5·|types|-row peak table
-    "dedup_semdedup",      // 1-row k cross + min(√n,256)-row centroid assignment cross (ann_ivf_* shape)
-    "quality_gopher_rules") // 1-row top-8 stopword list crossed into the per-doc rule projection
+  // Queries whose SEMANTICS include cross/BNLJ joins, with the EXACT
+  // node count each plan is allowed (ADVICE r10: a blanket name
+  // exemption would let a future regression of one of the query's
+  // EQUI-joins to a cartesian pass silently; pinning the count catches
+  // any drift in either direction). Counts are sparkPlan node counts at
+  // sf0.001 — `tools/run.sh graft.PlanAudit /root/testdata/sf0.001
+  // cross` regenerates the table after an intentional plan change.
+  private val intendedCross = Map(
+    "join_cross_small"    -> 1, // literal CROSS JOIN row
+    "sim_cosine_topk"     -> 1, // bounded all-pairs compare
+    "sim_threshold_join"  -> 1, // bounded all-pairs compare
+    "dedup_simhash"       -> 1, // fingerprint all-pairs histogram
+    "ann_ivf_topk"        -> 4, // 16-row centroid assignment crosses
+    "ann_ivf_nprobe"      -> 6, // √n-row centroid assignment crosses
+    "ann_ivf_kmeans"      -> 3, // √n-row centroid assignment crosses (Lloyd-refined)
+    "ann_ivf_pq"          -> 34, // min(√n,256)-row coarse + 4×16-row PQ codebook assignment crosses (IVFPQ)
+    "ann_ivf_pq_rerank"   -> 34, // same IVFPQ pipeline feeding the exact re-rank
+    "text_tfidf"          -> 1, // N-docs scalar joined as 1-row cross
+    "dedup_fuzzy_levenshtein" -> 1, // bounded (≤60-key) all-pairs edit distance
+    "ts_gapfill_locf"     -> 1, // 1-row bounds aggregate crossed into the grid generator
+    "ts_resample_interp"  -> 1, // same 1-row bounds cross as ts_gapfill_locf's grid
+    "scd2_asof_lookup"    -> 1, // 1-row bounds aggregate crossed into the probe generator
+    "zorder_layout"       -> 1, // 1-row min/max bounds crossed in for rank normalization
+    "dq_drift_psi"        -> 3, // 1-row time/value bounds crossed in for bucketing
+    "dq_freshness"        -> 1, // 1-row global-max aggregate crossed into the per-series frame (r6, replaced the unpartitioned window)
+    "tpch_q11"            -> 1, // 1-row global-total threshold crossed into the grouped frame
+    "tpch_q22"            -> 1, // 1-row avg-balance scalar crossed into the customer subset
+    "text_bigram_logprob" -> 1, // 1-row corpus-total aggregate crossed into the model join
+    "rfm_segment"         -> 3, // 1-row anchor + quintile-cutpoint aggregates crossed in
+    "benford_digits"      -> 1, // 1-row corpus-total aggregate crossed into the digit counts
+    "text_bm25"           -> 1, // 1-row corpus (N, Σdl) aggregate crossed into the tf/df join
+    "survival_km"         -> 1, // 1-row max-date aggregate crossed into the subject table
+    "mutual_info"         -> 1, // 1-row corpus-total aggregate crossed into the cell table
+    "assoc_rules"         -> 1, // 1-row basket-total aggregate crossed into the pair supports
+    "stats_chi2"          -> 3, // 1-row total + dims aggregates crossed into the ≤25-cell table
+    "graph_triangles"     -> 11, // 1-row (np, tw) threshold crosses through the |nations|²-bounded edge derivation
+    "stats_ks"            -> 1, // 1-row (n0, n1) totals crossed into the distinct-cents ECDF
+    "stats_bootstrap"     -> 3, // 40-row replicate table + 1-row (n, Σ) aggregates crossed into the draws
+    "ts_acf"              -> 1, // 6-row lag table crossed into the calendar-bounded hourly aggregate
+    "text_collocations"   -> 2, // 1-row corpus-total aggregates crossed into the PMI join
+    "embedding_cov"       -> 2, // 15-row (i,j) dimension-pair table + 1-row totals crossed into the quantized corpus
+    "graph_node_jaccard"  -> 9, // 1-row (np, tw) threshold crosses in the edge derivation (graph_triangles' shape)
+    "ts_theil_sen"        -> 2, // pairwise non-equi self-join over the CALENDAR-BOUNDED daily aggregate + 1-row n_days cross
+    "ts_downsample_lttb"  -> 3, // 1-row min-epoch aggregate crosses into the hour rebase
+    "b10_hll_merge"       -> 1, // 1-row direct-sketch aggregate crossed against the merged sketch
+    "stats_levene_bf"     -> 1, // 1-row global-F aggregate crossed into the 5-row per-group profile
+    "stats_jensen_shannon" -> 1, // 1-row (n0, n1) totals crossed into the ≤5-row priority cells
+    "ts_changepoint_mean" -> 1, // 1-row (n, Σ, Σ²) totals crossed into the CALENDAR-BOUNDED daily cumulative
+    "graph_assortativity" -> 6, // 1-row (np, tw) threshold crosses in the edge derivation (graph_triangles' shape)
+    "stats_cond_entropy"  -> 3, // 1-row corpus-total aggregates crossed into the ≤25-cell entropy terms
+    "text_burstiness"     -> 1, // 1-row doc-count aggregate crossed into the 20-row top-word table
+    "dq_referential"      -> 5, // 1-row orphan-count aggregate crossed into each FK edge's 1-row child count
+    "mixture_temperature" -> 3, // 1-row total + normalizer aggregates crossed into the |langs|-row share table
+    "ts_spectral_peak"    -> 5, // 4-row period table + 1-row totals crossed into the CALENDAR-BOUNDED hourly aggregate
+    "ts_heatmap_hour_dow" -> 1, // 1-row total crossed into the 7×24-bounded cell table
+    "ts_max_deficit"      -> 1, // 1-row (n, Σ) totals crossed into the CALENDAR-BOUNDED daily cumulative
+    "eval_langid_kappa"   -> 1, // 1-row chance-agreement aggregate crossed into the 1-row (n, diag) totals
+    "graph_reciprocity"   -> 4, // 1-row threshold + counts crossed around the |nations|²-bounded edge list
+    "stats_kendall_tau"   -> 2, // pairwise non-equi self-join + 1-row n cross (ts_theil_sen's shape)
+    "stats_qq"            -> 1, // two 1-row decile-grid aggregates crossed (1×1)
+    "ts_ccf"              -> 1, // 7-row lag table crossed into the calendar-bounded hourly aggregates (ts_acf's shape)
+    "ts_seasonal_anomaly" -> 7, // 1-row bounds/median/MAD aggregates crossed into the CALENDAR-BOUNDED hour spine
+    "data_split_grouped"  -> 1, // 1-row leakage-audit aggregate crossed into the |splits|-row report
+    "eval_ndcg_rankshift" -> 1, // 1-row IDCG constant crossed into the 1-row DCG aggregate
+    "ts_peak_composition" -> 1, // 1-row corpus-total aggregate crossed into the 5·|types|-row peak table
+    "dedup_semdedup"      -> 12, // 1-row k cross + min(√n,256)-row centroid assignment crosses (ann_ivf_* shape); the within-cluster pair join stays an EQUI-join on cent_id — a 13th node is a regression
+    "dedup_semdedup_capped" -> 15, // same k + assignment crosses + the ≤256-row centroid re-attach for ccos ranking; the pair join is an equi-join on (cent_id, bkt)
+    "quality_gopher_rules" -> 1) // 1-row top-8 stopword list crossed into the per-doc rule projection
     // join_null_safe needs no excuse: EqualNullSafe is a hash-joinable key (BroadcastHashJoin verified)
     // dedup_embedding was allowlisted through r2 (all-pairs BNLJ); it is
     // now banded sign-LSH with an equi-join — no cross join to excuse
+    // text_langid / subquery_scalar / graph_shortest_path /
+    // graph_closeness / b33_graph_mst / stats_mann_whitney /
+    // embedding_pca_top were allowlisted in earlier rounds; their plans
+    // now carry ZERO cross nodes at sf0.001 (scalar attaches fold into
+    // broadcast hash joins) — dropped from the map so a cross
+    // REAPPEARING there fails the gate
 
-  test("no unintended cartesian/broadcast-nested-loop joins") {
+  test("cross/BNLJ node counts match the per-query intended counts exactly") {
+    val crossRe = "CartesianProduct|BroadcastNestedLoopJoin".r
     val offenders = SparkEntry.declared.flatMap { q =>
       val plan =
         try q.fn(spark, sf()).queryExecution.sparkPlan.toString()
         catch { case e: Throwable => s"PLAN-FAILED ${e.getMessage}" }
-      if ((plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"))
-          && !intendedCross.contains(q.name))
-        Some(q.name)
+      val got = crossRe.findAllIn(plan).size
+      val want = intendedCross.getOrElse(q.name, 0)
+      if (got != want) Some(s"${q.name}: $got cross/BNLJ nodes (expected $want)")
       else None
     }
-    assert(offenders.isEmpty, s"unintended cross joins in: $offenders")
+    assert(offenders.isEmpty,
+      s"cross-join count drift (regenerate via PlanAudit cross if intentional):\n  ${offenders.mkString("\n  ")}")
   }
 
   test("parquet scans never read the full lineitem schema needlessly") {
