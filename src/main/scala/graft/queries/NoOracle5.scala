@@ -106,5 +106,9 @@ object NoOracle5 {
     graft.streaming.StreamOps.replayedBatchConvergence(T.events(s, d))
   }
 
-  def all: Seq[Q] = Seq(parquetBloom, streamProgress, streamReplay)
+  val streamMidwriteCrash: Q = Q.noOracle("b37_stream_midwrite_crash") { (s, d) =>
+    graft.streaming.StreamOps.midWriteCrashRecovery(T.events(s, d))
+  }
+
+  def all: Seq[Q] = Seq(parquetBloom, streamProgress, streamReplay, streamMidwriteCrash)
 }

@@ -381,4 +381,107 @@ object StreamOps {
       .toDF("stage", "n_rows", "checksum", "as_declared")
       .orderBy(col("stage").asc_nulls_first)
   }
+
+  /** Fault armed/disarmed across the [[midWriteCrashRecovery]] run.
+    * Static JVM state is the local-mode stand-in for a real task death
+    * (same device as b36's batchRuns map); on a cluster the fault would
+    * be a killed executor, which this row's window — a writer dying
+    * MID-batch, sink files partially written — models exactly.
+    */
+  private val midWriteFault = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** B37 (VERDICT r10 item 8): the LAST exactly-once window b36 left
+    * open. b36 proved duplicate-batch REPLAY converges (crash between
+    * sink write and commit record); this row crashes the writer
+    * *mid*-write — a task throws while the upsert's staged rewrite is
+    * in flight, after sibling tasks have already written their part
+    * files — and demonstrates the sink-side guarantee: the lake path's
+    * audit is BYTE-IDENTICAL before and after the failed attempt,
+    * because Upsert.merge materializes into `path__upsert_tmp` and the
+    * lake only ever advances by the post-write atomic swap. Partial
+    * files exist (in the staging dir), but no reader of the lake path
+    * can observe them; the restarted query replays the batch from the
+    * checkpoint (same offsets), the staged Overwrite clears the debris,
+    * and the final audit equals the clean-run expectation with
+    * attempt_count 2.
+    */
+  def midWriteCrashRecovery(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val slice = events
+      .select(col("event_id"), col("event_type"),
+        coalesce(col("value"), lit(0.0)).as("value"),
+        coalesce(unix_micros(col("ts")), lit(0L)).as("ts_us"))
+      .filter(col("event_id") % 50 === 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    val (h1, h2) = slice.partition(_._1 % 100 == 0)
+    // empty corpus (EmptyCorpusSpec): no victim row exists, the fault
+    // can never fire, and the crash/attempt stages hold vacuously
+    val degenerate = h2.isEmpty
+    val faultId = if (degenerate) -1L else h2.map(_._1).min // deterministic victim row
+    val token = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft_b37_ckpt_$token").toString
+    val lake = java.nio.file.Files.createTempDirectory(s"graft_b37_lake_$token").toString + "/lake"
+    // the fault rides INSIDE the staged write's scan: identity on value,
+    // throws for the victim row while armed — so the write job dies with
+    // other tasks' part files already staged (a UDF, sanctioned here: it
+    // IS the fault injector, not a compute path)
+    val faultFn = udf { (id: Long, v: Double) =>
+      if (midWriteFault.get && id == faultId)
+        throw new RuntimeException(s"b37 injected mid-write fault at event_id=$id")
+      v
+    }
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Double, Long)]
+    val attempts = new java.util.concurrent.ConcurrentHashMap[Long, Integer]()
+    val upserts = mem.toDS()
+      .toDF("event_id", "event_type", "value", "ts_us")
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        attempts.merge(id, 1, (a: Integer, b: Integer) => a + b)
+        val df = batch.toDF()
+          .withColumn("value", faultFn(col("event_id"), col("value")))
+        graft.operators.Upsert.merge(
+          batch.sparkSession, lake, df, Seq("event_id"), "ts_us")
+      }
+    // returns true iff the run failed with the injected fault
+    def runOnce(): Boolean = {
+      val q = upserts.start()
+      try { q.processAllAvailable(); false }
+      catch { case e: Throwable =>
+        val injected = Iterator.iterate[Throwable](e)(_.getCause)
+          .takeWhile(_ != null).take(16)
+          .exists(c => Option(c.getMessage).exists(_.contains("b37 injected")))
+        require(injected, s"unexpected failure (not the injected fault): $e")
+        true
+      } finally q.stop()
+    }
+    midWriteFault.set(false)
+    mem.addData(h1.toIndexedSeq)
+    require(!runOnce(), "seed batch must commit cleanly")
+    val audit1 = graft.ingest.LoadAudit.audit(s.read.parquet(lake))
+    midWriteFault.set(true) // arm: next batch dies mid-staged-write
+    mem.addData(h2.toIndexedSeq)
+    val crashed = runOnce()
+    val audit2 = graft.ingest.LoadAudit.audit(s.read.parquet(lake))
+    midWriteFault.set(false) // writer "restarts" healthy
+    require(!runOnce(), "replay after disarm must commit cleanly")
+    val audit3 = graft.ingest.LoadAudit.audit(s.read.parquet(lake))
+    Seq(
+      ("seed_committed", audit1.nRows, audit1.checksum,
+        audit1.nRows == h1.length.toLong),
+      ("crash_confirmed_midwrite", if (crashed) 1L else 0L, 0L,
+        crashed || degenerate),
+      ("lake_unchanged_after_crash", audit2.nRows, audit2.checksum,
+        audit2 == audit1),
+      ("replay_completed", audit3.nRows, audit3.checksum,
+        audit3.nRows == slice.length.toLong),
+      ("fault_batch_attempts", attempts.getOrDefault(1L, 0).toLong, 0L,
+        attempts.getOrDefault(1L, 0) >= (if (degenerate) 1 else 2)))
+      .toDF("stage", "n_rows", "checksum", "as_declared")
+      .orderBy(col("stage").asc_nulls_first)
+  }
 }

@@ -9,7 +9,11 @@ set -uo pipefail
 SF="$1"; OUT="$2"; CHUNK="${3:-12}"
 mkdir -p "$OUT"
 cd /root/repo
-tools/run.sh graft.Keys | cut -f1 > "$OUT/keys.txt"
+# a pre-existing keys.txt is honored (partial re-measure sweeps seed it
+# with just the keys to run); delete it to re-derive the full surface
+if [[ ! -s "$OUT/keys.txt" ]]; then
+  tools/run.sh graft.Keys | cut -f1 > "$OUT/keys.txt"
+fi
 TOTAL=$(wc -l < "$OUT/keys.txt")
 i=0
 while read -r -a NAMES; do
