@@ -14,7 +14,7 @@ for f in sorted(glob.glob(f"{out_dir}/chunk_*.json")):
     queries.update(c["queries"])
     failures.update(c["failures"])
     sf, n_passes = c["sf"], c["n_passes"]
-declared = [l.split("\t")[0] for l in open(f"{out_dir}/keys.txt")]
+declared = [l.strip().split("\t")[0] for l in open(f"{out_dir}/keys.txt") if l.strip()]
 missing = [k for k in declared if k not in queries and k not in failures]
 for k in missing:
     failures[k] = "chunk crashed before this query ran"
