@@ -388,49 +388,79 @@ object LlmOpsAnalytics {
     * row_number, partial-aggregable downstream. Revenue sums are
     * decimal (exact, order-independent), one cast + round at the edge.
     */
+  /** Last-touch attribution with a 24 h lookback — re-expressed as a
+    * backward AS-OF over the UNIONED event stream (round 11). The
+    * original purchase⋈touch equi-join on user_id emits
+    * |purchases_u| × |touches_u| rows per user — quadratic in any hot
+    * user, measured 1.16 s → 197 s (170×) on the 30 %-heavy-hitter
+    * skew corpus (BASELINE §r11-skew). The as-of shape is one shuffle
+    * on user_id + a per-user sort: each row carries the running MAX of
+    * an integer-packed (t_us << 1 | is_click) over preceding touches,
+    * so the latest-touch (and the 'click' < 'view' tie-break at equal
+    * t_us — click packs to the higher bit) falls out of a single
+    * window pass with ZERO pair enumeration; purchases whose last
+    * touch is older than the 24 h window (or who have none, or a null
+    * ts) attribute to 'direct' — bit-identical semantics to the join
+    * (if the LATEST touch is out of window, every touch is). Skewed
+    * cost: the hot user is one 300 k-row sort partition — milliseconds,
+    * not 10¹⁰ probed pairs.
+    */
   val eventAttribution: Q = Q(
     "event_attribution",
-    """WITH purch AS (
-      |  SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us, value
-      |  FROM events WHERE event_type = 'purchase'
-      |), touch AS (
-      |  SELECT user_id AS t_user, event_type AS touch_type, epoch_us(ts) AS t_us
+    """WITH uni AS (
+      |  SELECT user_id AS u, epoch_us(ts) AS us, 0 AS kind,
+      |         CAST(NULL AS BIGINT) AS p_id, CAST(NULL AS DOUBLE) AS value,
+      |         event_type AS touch_type
       |  FROM events WHERE event_type IN ('click', 'view')
+      |  UNION ALL
+      |  SELECT user_id, epoch_us(ts), 1, event_id, value, NULL
+      |  FROM events WHERE event_type = 'purchase'
+      |), run AS (
+      |  SELECT kind, us, p_id, value,
+      |         max(CASE WHEN kind = 0 AND us IS NOT NULL THEN
+      |               (us << 1) | (CASE WHEN touch_type = 'click' THEN 1 ELSE 0 END)
+      |             END) OVER (PARTITION BY u ORDER BY us ASC NULLS FIRST, kind ASC
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tlast
+      |  FROM uni
       |), best AS (
-      |  SELECT p_id, value, touch_type,
-      |         row_number() OVER (PARTITION BY p_id
-      |                            ORDER BY t_us DESC NULLS LAST,
-      |                                     touch_type ASC NULLS LAST) AS rn
-      |  FROM purch LEFT JOIN touch
-      |    ON user_id = t_user AND t_us <= p_us
-      |   AND t_us >= p_us - 86400000000
+      |  SELECT p_id, value,
+      |         CASE WHEN us IS NULL OR tlast IS NULL
+      |                   OR (tlast >> 1) < us - 86400000000 THEN NULL
+      |              WHEN (tlast & 1) = 1 THEN 'click' ELSE 'view' END AS touch_type
+      |  FROM run WHERE kind = 1
       |)
       |SELECT coalesce(touch_type, 'direct') AS touch_type,
       |       CAST(count(*) AS BIGINT) AS n_purchases,
       |       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 6)
       |         AS revenue
-      |FROM best WHERE rn = 1
+      |FROM best
       |GROUP BY 1
       |ORDER BY touch_type NULLS FIRST""".stripMargin
   ) { (s, d) =>
     val ev = T.events(s, d)
-    val purch = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("user_id"),
-        unix_micros(col("ts")).as("p_us"), col("value"))
     val touch = ev.filter(col("event_type").isin("click", "view"))
-      .select(col("user_id").as("t_user"), col("event_type").as("touch_type"),
-        unix_micros(col("ts")).as("t_us"))
-    val w = Window.partitionBy(col("p_id"))
-      .orderBy(col("t_us").desc_nulls_last, col("touch_type").asc_nulls_last)
-    purch
-      .join(touch,
-        col("user_id") === col("t_user")
-          && col("t_us") <= col("p_us")
-          && col("t_us") >= col("p_us") - 86400000000L,
-        "left")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .groupBy(coalesce(col("touch_type"), lit("direct")).as("touch_type"))
+      .select(col("user_id").as("u"), unix_micros(col("ts")).as("us"),
+        lit(0).as("kind"), lit(null).cast("long").as("p_id"),
+        lit(null).cast("double").as("value"), col("event_type").as("touch_type"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u"), unix_micros(col("ts")).as("us"),
+        lit(1).as("kind"), col("event_id").as("p_id"), col("value"),
+        lit(null).cast("string").as("touch_type"))
+    val w = Window.partitionBy(col("u"))
+      .orderBy(col("us").asc_nulls_first, col("kind").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tkey = shiftleft(col("us"), 1)
+      .bitwiseOR(when(col("touch_type") === "click", 1L).otherwise(0L))
+    val run = touch.unionByName(purch)
+      .withColumn("tlast",
+        max(when(col("kind") === 0 && col("us").isNotNull, tkey)).over(w))
+      .filter(col("kind") === 1)
+    val attributed = when(
+      col("us").isNull || col("tlast").isNull ||
+        shiftright(col("tlast"), 1) < col("us") - 86400000000L, lit(null))
+      .otherwise(when(col("tlast").bitwiseAND(1) === 1, "click").otherwise("view"))
+    run
+      .groupBy(coalesce(attributed, lit("direct")).as("touch_type"))
       .agg(count(lit(1)).as("n_purchases"),
         round(sum(T.dec4(col("value"))).cast("double"), 6).as("revenue"))
       .orderBy(col("touch_type").asc_nulls_first)

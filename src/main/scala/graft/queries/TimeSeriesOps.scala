@@ -510,10 +510,18 @@ object TimeSeriesOps {
     */
   val tsEma: Q = Q(
     "ts_ema",
+    // hour_avg is an EXACT integer-rational round: the decimal sum in
+    // 1e-6 units, divided by n with integer round-half-up
+    // ((2s+n) div 2n — positive domain), so both engines derive the
+    // identical 6-decimal value. The former double division hit a real
+    // round-half tie at sf1 (16066.3/320 = 50.2071875: Spark's
+    // HALF_UP on the binary double vs DuckDB's *1e6+0.5 floor disagree
+    // at exactly .5e-6) — found by the round-11 skew sweep.
     """WITH hr AS (
       |  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
       |         CAST(count(*) AS BIGINT) AS n,
-      |         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS x
+      |         ((2 * CAST(sum(CAST(value AS DECIMAL(18,4))) * 1000000 AS BIGINT)
+      |           + count(*)) // (2 * count(*))) / 1000000.0 AS x
       |  FROM events GROUP BY 1, 2),
       |lagged AS (
       |  SELECT event_type, hour_ts, n, x,
@@ -536,7 +544,11 @@ object TimeSeriesOps {
     val hr = T.events(s, d)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
       .agg(count(lit(1)).as("n"),
-        (sum(T.dec4(col("value"))).cast("double") / count(lit(1))).as("x"))
+        // exact integer round-half-up of (sum_micros / n) — see the
+        // oracle comment; Spark `div` truncates and DuckDB `//` floors,
+        // identical on this positive domain
+        expr("""((2 * CAST(sum(CAST(value AS DECIMAL(18,4))) * 1000000 AS BIGINT)
+                 + count(1)) div (2 * count(1))) / 1000000.0""").as("x"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("hour_ts"))
     val lagged = hr
       .withColumn("l1", lag(col("x"), 1).over(w))
