@@ -71,14 +71,19 @@ object SkewUp {
     val hotSupp = minOf(li, "l_suppkey")
     val hotPart = minOf(li, "l_partkey")
     // the lineitem PK is (orderkey, linenumber-ish position); orderkey +
-    // partkey disambiguates enough for a deterministic per-row uniform
+    // partkey disambiguates enough for a deterministic per-row uniform.
+    // Both hot flags are computed from the ORIGINAL columns BEFORE either
+    // remap (ADVICE r11: chained withColumns made the partkey decision
+    // read the already-remapped suppkey, so for the hot slice it
+    // collapsed to hash(orderkey, hotSupp) — correlated, not uniform)
     write(li
+      .withColumn("_hot_supp", hot("concat(l_orderkey, '_', l_partkey)", "supp"))
+      .withColumn("_hot_part", hot("concat(l_orderkey, '_', l_suppkey)", "part"))
       .withColumn("l_suppkey",
-        when(hot("concat(l_orderkey, '_', l_partkey)", "supp"), lit(hotSupp))
-          .otherwise(col("l_suppkey")))
+        when(col("_hot_supp"), lit(hotSupp)).otherwise(col("l_suppkey")))
       .withColumn("l_partkey",
-        when(hot("concat(l_orderkey, '_', l_suppkey)", "part"), lit(hotPart))
-          .otherwise(col("l_partkey"))),
+        when(col("_hot_part"), lit(hotPart)).otherwise(col("l_partkey")))
+      .drop("_hot_supp", "_hot_part"),
       "lineitem")
 
     val ev = Tables.events(spark, src)

@@ -86,12 +86,17 @@ object CurateOps8 {
       |             / 4294967296.0)) * 1e6) AS BIGINT) AS key_q
       |  FROM scored),
       |kept AS (
-      |  SELECT * FROM keyed ORDER BY key_q DESC, doc_id ASC LIMIT 100)
-      |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
-      |       CAST(sum(score_q) AS BIGINT) AS sum_score_micros,
-      |       round(CAST(sum(score_q) AS DOUBLE) / count(*) / 1e6, 6) AS mean_logratio,
-      |       CAST(sum(n_grams) AS BIGINT) AS grams_kept
-      |FROM kept GROUP BY lang
+      |  SELECT * FROM keyed ORDER BY key_q DESC, doc_id ASC LIMIT 100),
+      |agg AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+      |         CAST(sum(score_q) AS BIGINT) AS s,
+      |         CAST(sum(n_grams) AS BIGINT) AS grams_kept
+      |  FROM kept GROUP BY lang)
+      |SELECT lang, n_kept, s AS sum_score_micros,
+      |       ((2 * s + CASE WHEN s < 0 THEN -n_kept ELSE n_kept END)
+      |        // (2 * n_kept)) / 1000000.0 AS mean_logratio,
+      |       grams_kept
+      |FROM agg
       |ORDER BY lang NULLS FIRST""".stripMargin
   ) { (s, d) =>
     val tok = T.documents(s, d)
@@ -129,12 +134,23 @@ object CurateOps8 {
       .withColumn("key_q", col("score_q") + gumbelQ)
       .orderBy(col("key_q").desc, col("doc_id").asc)
       .limit(100)
+    // mean_logratio is an EXACT integer round-half-away-from-zero of
+    // sum_micros / n (the ts_ema device, extended to the negative score
+    // domain): Spark `div` and DuckDB `//` both TRUNCATE toward zero, so
+    // a sign-symmetric half offset makes the 6-decimal value bit-
+    // identical in both engines — no double division, no round() tie
+    // (ADVICE r11: the former round(double) was the exact .5e-6 class
+    // ts_ema hit at sf1)
     kept.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"),
         sum(col("score_q")).cast("long").as("sum_score_micros"),
-        round(sum(col("score_q")).cast("double") / count(lit(1)) / 1e6, 6)
-          .as("mean_logratio"),
         sum(col("n_grams")).cast("long").as("grams_kept"))
+      .withColumn("mean_logratio", expr(
+        """((2 * sum_score_micros
+            + (CASE WHEN sum_score_micros < 0 THEN -n_kept ELSE n_kept END))
+           div (2 * n_kept)) / 1000000.0"""))
+      .select(col("lang"), col("n_kept"), col("sum_score_micros"),
+        col("mean_logratio"), col("grams_kept"))
       .orderBy(col("lang").asc_nulls_first)
   }
 

@@ -9,9 +9,27 @@ set -uo pipefail
 SF="$1"; OUT="$2"; CHUNK="${3:-12}"
 mkdir -p "$OUT"
 cd /root/repo
-# a pre-existing keys.txt is honored (partial re-measure sweeps seed it
-# with just the keys to run); delete it to re-derive the full surface
-if [[ ! -s "$OUT/keys.txt" ]]; then
+# Partial re-measure sweeps must pass KEYS_FILE= explicitly (ADVICE r11:
+# silently honoring a stale keys.txt left in a reused OUT dir pinned the
+# sweep to an outdated surface and bench_merge couldn't even flag the
+# missing keys). A pre-existing keys.txt is only reused when it still
+# matches the declared surface (that keeps crash-resume chunk alignment
+# safe); a stale one is a hard error.
+if [[ -n "${KEYS_FILE:-}" ]]; then
+  cp "$KEYS_FILE" "$OUT/keys.txt"
+  echo "[bench_chunked] partial sweep: KEYS_FILE=$KEYS_FILE ($(wc -l < "$OUT/keys.txt") keys)"
+elif [[ -s "$OUT/keys.txt" ]]; then
+  tools/run.sh graft.Keys | cut -f1 > "$OUT/keys.current"
+  if cmp -s "$OUT/keys.txt" "$OUT/keys.current"; then
+    rm -f "$OUT/keys.current"
+    echo "[bench_chunked] resuming: existing keys.txt matches the declared surface"
+  else
+    echo "[bench_chunked] ERROR: $OUT/keys.txt is STALE (differs from the declared surface)." >&2
+    echo "  diff: $(diff "$OUT/keys.txt" "$OUT/keys.current" | head -5 | tr '\n' ' ')" >&2
+    echo "  Delete $OUT (or its keys.txt) for a fresh full sweep, or pass KEYS_FILE= for a partial one." >&2
+    exit 3
+  fi
+else
   tools/run.sh graft.Keys | cut -f1 > "$OUT/keys.txt"
 fi
 TOTAL=$(wc -l < "$OUT/keys.txt")
