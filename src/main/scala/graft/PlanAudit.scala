@@ -17,10 +17,33 @@ object PlanAudit {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // mode "cross" prints CartesianProduct+BroadcastNestedLoopJoin node
-    // counts instead (feeds PlanQualitySpec's per-query expected counts)
+    val mode = args.drop(1).headOption.getOrElse("sortagg")
+    // structural modes (PlanWalk): "window" prints per-query counts of
+    // unpartitioned WindowExec nodes; "skewjoin" prints fact×fact
+    // shuffle joins keyed on a skewable FK (both feed PlanQualitySpec's
+    // pinned expected sets). The skewjoin walk disables auto-broadcast
+    // so tiny sf0.001 inputs show the join strategy used at scale.
+    if (mode == "window" || mode == "skewjoin") {
+      if (mode == "skewjoin")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      SparkEntry.declared.foreach { q =>
+        try {
+          val plan = q.fn(spark, sfDir).queryExecution.sparkPlan
+          val hits =
+            if (mode == "window")
+              PlanWalk.unpartitionedWindows(plan).map(w =>
+                s"win[${w.windowExpression.map(_.sql).mkString(",").take(90)}]")
+            else PlanWalk.skewRiskJoins(plan)
+          if (hits.nonEmpty)
+            println(f"${hits.size}%3d  ${q.name}%-28s ${hits.mkString(" | ").take(140)}")
+        } catch { case e: Throwable => println(f"  ?  ${q.name}%-28s PLAN-FAILED ${e.getMessage.take(100)}") }
+      }
+      spark.stop(); return
+    }
+    // string modes: "cross" counts CartesianProduct+BroadcastNestedLoopJoin
+    // nodes; default counts SortAggregate
     val pattern =
-      if (args.drop(1).headOption.contains("cross")) "CartesianProduct|BroadcastNestedLoopJoin"
+      if (mode == "cross") "CartesianProduct|BroadcastNestedLoopJoin"
       else "SortAggregate"
     SparkEntry.declared.foreach { q =>
       val plan =

@@ -114,17 +114,24 @@ object CurateOps5 {
       .agg(sum(col("c")).cast("long").as("all_cents"),
         sum(col("yc")).cast("long").as("yr_cents"))
     import org.apache.spark.sql.expressions.Window
-    val truth = rev.withColumn("t_rank",
-      row_number().over(Window.orderBy(col("all_cents").desc, col("sk").asc)))
-      .select(col("sk"),
-        when(col("t_rank") <= 10, lit(11) - col("t_rank")).otherwise(0).as("rel"))
-    val sys = rev.withColumn("s_rank",
-      row_number().over(Window.orderBy(col("yr_cents").desc, col("sk").asc)))
+    // r12: both rankings only CONSUME their top-10 (rel is 0 past rank
+    // 10; dcg filters s_rank <= 10), so rank after a TakeOrdered(10) —
+    // per-partition heads + one 10-row merge — instead of a global
+    // row_number over the supplier-proportional aggregate (the former
+    // unpartitioned window single-partition-sorted |suppliers| rows at
+    // scale). The (cents DESC, sk ASC) order is total, so top-10 +
+    // in-frame row_number is value-identical to the global rank.
+    val truth10 = rev.orderBy(col("all_cents").desc, col("sk").asc).limit(10)
+      .withColumn("t_rank",
+        row_number().over(Window.orderBy(col("all_cents").desc, col("sk").asc)))
+      .select(col("sk"), (lit(11) - col("t_rank")).as("rel"))
+    val sys10 = rev.orderBy(col("yr_cents").desc, col("sk").asc).limit(10)
+      .withColumn("s_rank",
+        row_number().over(Window.orderBy(col("yr_cents").desc, col("sk").asc)))
       .select(col("sk"), col("s_rank"))
-    val dcg = sys.filter(col("s_rank") <= 10)
-      .join(truth, "sk")
-      .agg(sum(dbl(col("rel")) / log2(dbl(col("s_rank") + 1))).as("dcg"),
-        sum(when(col("rel") > 0, 1).otherwise(0)).cast("long").as("overlap"))
+    val dcg = sys10.join(broadcast(truth10), Seq("sk"), "left")
+      .agg(sum(dbl(coalesce(col("rel"), lit(0))) / log2(dbl(col("s_rank") + 1))).as("dcg"),
+        sum(when(coalesce(col("rel"), lit(0)) > 0, 1).otherwise(0)).cast("long").as("overlap"))
     val idcg = s.range(1, 11)
       .agg(sum(dbl(lit(11) - col("id")) / log2(dbl(col("id") + 1))).as("idcg"))
     dcg.crossJoin(broadcast(idcg)) // 1-row × 1-row

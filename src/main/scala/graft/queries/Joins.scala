@@ -363,12 +363,29 @@ object Joins {
   /** Nearest-event time join (both directions, ±1 h tolerance): each
     * purchase matched to the temporally CLOSEST click by the same user —
     * the sensor-alignment shape join_asof's backward-only semantics
-    * cannot express. µs-tie → earlier click, then click id. Candidates
-    * come from an hour-bucket equi-join (purchase side exploded to its
-    * 3 adjacent buckets; |Δt| ≤ 1 h ⇒ bucket distance ≤ 1, and each
-    * pair matches exactly one bucket value — no dedup needed), then one
-    * row_number per purchase: bounded fan-out, never user×user history.
-    * Distances compared as exact integer microseconds.
+    * cannot express. Dist-tie → earlier click, then click id.
+    *
+    * Re-expressed r12 as a TWO-DIRECTION AS-OF over the unioned event
+    * stream (the event_attribution device): the former hour-bucket
+    * equi-join emitted |purchases_cell| × |clicks_cell| candidate pairs
+    * per (user, hour) cell — per-cell density grows with SF, so a
+    * heavy-hitter user's cells go quadratic (the r12 skewjoin plan gate
+    * flagged it; the r11 "only fact×fact join" grep had missed the
+    * composite key). Now: ONE shuffle on user_id + two in-partition
+    * sorted window passes. The backward pass orders (t_us ASC, clicks
+    * before purchases at equal t_us, event_id ASC) and carries the
+    * running max of struct(t_us, −click_id) over clicks — at each
+    * purchase that is the latest preceding click, min click_id on µs
+    * ties; the forward pass mirrors it descending with
+    * struct(−t_us, −click_id) → earliest following click. The nearest
+    * within ±1 h is whichever direction's best is closer (the overall
+    * nearest IS the within-window nearest whenever one exists); an
+    * exact-µs tie between directions goes backward (smaller cts), which
+    * is the join's (dist, cts ASC, click_id ASC) order. Null user_id /
+    * event_type rows drop exactly as the inner equi-join dropped them.
+    * Distances compared as exact integer microseconds. Zero pair
+    * enumeration: the hot user costs one sorted partition, not a
+    * density-squared candidate set.
     */
   val joinAsofNearest: Q = Q(
     "join_asof_nearest",
@@ -388,25 +405,46 @@ object Joins {
       |SELECT purchase_id, user_id, click_id, dist_us
       |FROM cand WHERE rn = 1 ORDER BY purchase_id NULLS FIRST""".stripMargin
   ) { (s, d) =>
-    val ev = T.events(s, d)
-      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
-    val p = ev.filter(col("event_type") === "purchase")
+    val st = T.events(s, d)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull
+        && (col("event_type") === "purchase" || col("event_type") === "click"))
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        (col("event_type") === "click").cast("int").as("is_click"),
+        col("event_id"))
+    // clicks sort BEFORE purchases at equal t_us (is_click DESC), so a
+    // click at exactly pts is inside the purchase's backward frame (and
+    // the forward one — the join's range bounds are both inclusive)
+    val wB = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us").asc, col("is_click").desc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us").desc, col("is_click").desc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val clickB = when(col("is_click") === 1,
+      struct(col("t_us").as("t"), (-col("event_id")).as("nid")))
+    val clickF = when(col("is_click") === 1,
+      struct((-col("t_us")).as("nt"), (-col("event_id")).as("nid")))
+    val scanned = st
+      .withColumn("back", max(clickB).over(wB))
+      .withColumn("fwd", max(clickF).over(wF))
+    val hourUs = 3600000000L
+    val p = scanned.filter(col("is_click") === 0)
       .select(col("event_id").as("purchase_id"), col("user_id"),
-        col("ts").as("pts"), expr("unix_micros(ts) div 3600000000").as("b"))
-    val pB = p.select(col("purchase_id"), col("user_id"), col("pts"),
-      explode(array(col("b") - 1, col("b"), col("b") + 1)).as("bucket"))
-    val c = ev.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
-        col("ts").as("cts"), expr("unix_micros(ts) div 3600000000").as("c_bucket"))
-    val cand = pB.join(c,
-      col("user_id") === col("c_user") && col("bucket") === col("c_bucket")
-        && col("cts") >= col("pts") - expr("interval 1 hour")
-        && col("cts") <= col("pts") + expr("interval 1 hour"))
-      .withColumn("dist_us", abs(unix_micros(col("pts")) - unix_micros(col("cts"))))
-    val w = Window.partitionBy(col("purchase_id"))
-      .orderBy(col("dist_us").asc, col("cts").asc, col("click_id").asc)
-    cand.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+        col("t_us").as("pts_us"),
+        col("back.t").as("bt"), (-col("back.nid")).as("bid"),
+        (-col("fwd.nt")).as("ft"), (-col("fwd.nid")).as("fid"))
+      .withColumn("db",
+        when(col("bt").isNotNull && col("pts_us") - col("bt") <= hourUs,
+          col("pts_us") - col("bt")))
+      .withColumn("df",
+        when(col("ft").isNotNull && col("ft") - col("pts_us") <= hourUs,
+          col("ft") - col("pts_us")))
+    val backWins = col("db").isNotNull && (col("df").isNull || col("db") <= col("df"))
+    p.withColumn("click_id", when(backWins, col("bid"))
+        .when(col("df").isNotNull, col("fid")))
+      .withColumn("dist_us", when(backWins, col("db"))
+        .when(col("df").isNotNull, col("df")))
+      .filter(col("click_id").isNotNull)
       .select(col("purchase_id"), col("user_id"), col("click_id"), col("dist_us"))
       .orderBy(col("purchase_id").asc_nulls_first)
   }

@@ -100,6 +100,104 @@ class PlanQualitySpec extends SparkSpec {
       s"cross-join count drift (regenerate via PlanAudit cross if intentional):\n  ${offenders.mkString("\n  ")}")
   }
 
+  // Unpartitioned WindowExec nodes move ALL input rows to ONE partition
+  // — allowed only over inputs that are cardinality-bounded BY
+  // CONSTRUCTION, with the bound named here (VERDICT r11 item 2: the
+  // scaladoc convention becomes a count-pinned gate, same design as the
+  // cross gate above). Counts are sparkPlan nodes at sf0.001;
+  // `tools/run.sh graft.PlanAudit /root/testdata/sf0.001 window`
+  // regenerates the table after an intentional plan change.
+  private val intendedUnpartitionedWindows = Map(
+    "eval_ndcg_rankshift" -> 2, // row_number over TakeOrdered(10) frames (r12 rewrite; was |suppliers|)
+    "mixture_weights"     -> 1, // totals over the |langs|-row share table
+    "sample_dsir"         -> 1, // model totals over the ≤1024-row hashed-bucket table
+    "stats_bootstrap"     -> 2, // binned-cumulative prefix over the value-DOMAIN bin table (≤ val_range/1e6 rows)
+    "stats_ks"            -> 1, // binned-cumulative prefix over the cents-domain bin table
+    "stats_mann_whitney"  -> 1, // binned-cumulative prefix over the cents-domain bin table
+    "stats_runs_test"     -> 2, // lag over the CALENDAR-BOUNDED daily aggregate (≤ |days|)
+    "stats_spearman"      -> 2, // binned-cumulative prefix over the two cents-domain bin tables (qv ≤ 1, pv ≤ ~11 bins)
+    "stats_wilcoxon"      -> 1, // rank prefix over distinct |daily diff| values (≤ |days|)
+    "survival_km"         -> 2, // at-risk + KM product over the day-granular duration table (≤ |days|)
+    "text_rarity"         -> 1, // rank over the TakeOrdered(25) frame
+    "ts_backlog"          -> 1, // cumulative over the CALENDAR-BOUNDED daily aggregate
+    "ts_burst_detect"     -> 1, // row_number over the CALENDAR-BOUNDED hourly aggregate
+    "ts_changepoint_mean" -> 1, // cumulative over the CALENDAR-BOUNDED daily aggregate
+    "ts_max_deficit"      -> 2, // cumulative + row_number over the CALENDAR-BOUNDED daily aggregate
+    "ts_rolling_corr"     -> 1) // row_number over the month-granular (≤ |months|) aggregate
+
+  test("unpartitioned-window node counts match the per-query intended counts exactly") {
+    val offenders = SparkEntry.declared.flatMap { q =>
+      val got =
+        try PlanWalk.unpartitionedWindows(q.fn(spark, sf()).queryExecution.sparkPlan).size
+        catch { case _: Throwable => -1 }
+      val want = intendedUnpartitionedWindows.getOrElse(q.name, 0)
+      if (got != want) Some(s"${q.name}: $got unpartitioned windows (expected $want)")
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned-window drift (regenerate via PlanAudit window if intentional, and justify the bound):\n  ${offenders.mkString("\n  ")}")
+  }
+
+  test("window walk is sensitive: a raw global row_number IS detected") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"${sf()}/events.parquet")
+      .withColumn("rn", row_number().over(Window.orderBy(col("event_id"))))
+    assert(PlanWalk.unpartitionedWindows(df.queryExecution.sparkPlan).size === 1)
+  }
+
+  // The fact×fact heavy-hitter gate (VERDICT r11 item 1): no shuffle
+  // equi-join on a skewable FK (o_custkey / l_suppkey / l_partkey /
+  // user_id — graft.SkewUp's remap set) may have BOTH sides un-reduced
+  // corpus scans. That shape emits |left_k|×|right_k| rows for a hot
+  // key: event_attribution went 1.16 s → 197 s at 30% skew before its
+  // r11 as-of rewrite, and this gate's first run caught the composite-
+  // key variant the r11 manual grep missed (join_asof_nearest's
+  // (user_id, hour-bucket) join — 6.69 s → 1.47 s on skew-sf1 after its
+  // r12 as-of rewrite). Expected set: EMPTY. Plans are derived with
+  // auto-broadcast disabled so tiny sf0.001 inputs show the join
+  // strategy the same query gets at scale; explicit broadcast() hints
+  // survive, which is correct (a hinted build side is small at any SF).
+  test("no query shuffle-joins two un-reduced fact scans on a skewable id") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val offenders = SparkEntry.declared.flatMap { q =>
+        val hits =
+          try PlanWalk.skewRiskJoins(q.fn(spark, sf()).queryExecution.sparkPlan)
+          catch { case _: Throwable => Nil }
+        hits.map(h => s"${q.name}: $h")
+      }
+      assert(offenders.isEmpty,
+        s"skew-risk fact×fact joins (rewrite as as-of/aggregate-first, or justify + pin):\n  ${offenders.mkString("\n  ")}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("skewjoin walk is sensitive: raw fact×fact on user_id IS flagged; reduced/dim joins are NOT") {
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ev = spark.read.parquet(s"${sf()}/events.parquet")
+      // the event_attribution anti-shape: purchases × clicks, same user
+      val bad = ev.filter(col("event_type") === "purchase")
+        .join(ev.filter(col("event_type") === "click").select(
+          col("user_id"), col("ts").as("cts")), "user_id")
+      assert(PlanWalk.skewRiskJoins(bad.queryExecution.sparkPlan).nonEmpty,
+        "raw fact×fact join on user_id must be flagged")
+      // one side aggregated to ≤1 row per key → linear, not flagged
+      val ok1 = ev.join(ev.groupBy("user_id").agg(count(lit(1)).as("n")), "user_id")
+      assert(PlanWalk.skewRiskJoins(ok1.queryExecution.sparkPlan).isEmpty,
+        "aggregate-reduced side must not be flagged")
+      // fact×dim on the dim's PRIMARY key (unique per row) → not flagged
+      val ord = spark.read.parquet(s"${sf()}/orders.parquet")
+      val cust = spark.read.parquet(s"${sf()}/customer.parquet")
+      val ok2 = ord.join(cust, col("o_custkey") === col("c_custkey"))
+      assert(PlanWalk.skewRiskJoins(ok2.queryExecution.sparkPlan).isEmpty,
+        "fact×dim join on the dim PK must not be flagged")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("parquet scans never read the full lineitem schema needlessly") {
     // lineitem has 11 columns; scan_count needs 0, project_expr needs 7.
     val plan = SparkEntry.queries("scan_count")(spark, sf())
