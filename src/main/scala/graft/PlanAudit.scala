@@ -23,8 +23,8 @@ object PlanAudit {
     // shuffle joins keyed on a skewable FK (both feed PlanQualitySpec's
     // pinned expected sets). The skewjoin walk disables auto-broadcast
     // so tiny sf0.001 inputs show the join strategy used at scale.
-    if (mode == "window" || mode == "skewjoin") {
-      if (mode == "skewjoin")
+    if (mode == "window" || mode == "skewjoin" || mode == "joins") {
+      if (mode == "skewjoin" || mode == "joins")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       SparkEntry.declared.foreach { q =>
         try {
@@ -33,7 +33,15 @@ object PlanAudit {
             if (mode == "window")
               PlanWalk.unpartitionedWindows(plan).map(w =>
                 s"win[${w.windowExpression.map(_.sql).mkString(",").take(90)}]")
-            else PlanWalk.skewRiskJoins(plan)
+            else if (mode == "skewjoin") PlanWalk.skewRiskJoins(plan)
+            else plan.collect {
+              // "joins": every SHUFFLE join with its equi-key names — the
+              // TimeQ candidate set for skew-corpus timing sweeps
+              case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+                s"SMJ(${(j.leftKeys ++ j.rightKeys).flatMap(_.references.map(_.name)).distinct.mkString(",")})"
+              case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+                s"SHJ(${(j.leftKeys ++ j.rightKeys).flatMap(_.references.map(_.name)).distinct.mkString(",")})"
+            }
           if (hits.nonEmpty)
             println(f"${hits.size}%3d  ${q.name}%-28s ${hits.mkString(" | ").take(140)}")
         } catch { case e: Throwable => println(f"  ?  ${q.name}%-28s PLAN-FAILED ${e.getMessage.take(100)}") }
