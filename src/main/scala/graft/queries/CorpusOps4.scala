@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables => T}
+
+/** Round-12 wave: word-level LM perplexity filtering — the CCNet-class
+  * quality signal the corpus family still lacked (text_bigram_logprob
+  * is CHARACTER-level surprisal with no backoff; quality_lr_score is a
+  * logistic model; text_quality is rule heuristics).
+  */
+object CorpusOps4 {
+
+  private val bigramsOfT =
+    """transform(slice(sequence(1, greatest(size(t) - 1, 1)), 1, greatest(size(t) - 1, 0)),
+       i -> concat_ws(' ', element_at(t, i), element_at(t, i+1)))"""
+
+  /** Per-document perplexity under a word-BIGRAM language model with
+    * STUPID BACKOFF (Brants et al. 2007, "Large Language Models in
+    * Machine Translation" §4): the model is trained on the TARGET
+    * slice (lang = 'en', the sample_dsir device — so out-of-slice
+    * documents actually exercise the backoff path), every document is
+    * scored, and the 25 most surprising (lowest mean log-score) are
+    * reported — the published perplexity-filtering shape (CCNet,
+    * Wenzek et al. 2020) that ranks a corpus by LM fit.
+    *
+    * Score of a bigram (w1 w2): S = c2(w1w2)/c1(w1) when the bigram is
+    * in-model, else 0.4 · (c1(w2)+1)/(N1+V) — the flat 0.4 backoff to
+    * an add-1-smoothed unigram (unseen w2 degrades to 0.4/(N1+V), never
+    * log 0). Exactness discipline (the sample_dsir contract): ln(S) is
+    * quantized ONCE to integer micro-units per distinct corpus bigram
+    * TYPE, per-doc scores are exact integer sums of k·lw_q, the mean is
+    * the sign-symmetric exact integer division (both engines truncate
+    * `div`//`//` toward zero), and the top-25 order is the integer
+    * total order (mean_q, sum, doc_id). ln must agree across engines
+    * only to the 0.5e-6 quantization boundary.
+    *
+    * Scale shape: two explodes (doc bigrams; en tokens), all model
+    * tables are TYPE-level aggregates (vocab/bigram-type-proportional,
+    * sublinear in the corpus by Heaps' law) joined back by equi-join —
+    * model side ≤1 row per key, so the joins stay linear under any
+    * linguistic skew ("the the" is a hot key with ONE model row); the
+    * per-doc sum partial-aggregates map-side; the 1-row (N1, V) totals
+    * broadcast-cross; the top-25 is TakeOrdered. No self-joins, no
+    * corpus-proportional broadcast, no unpartitioned windows.
+    */
+  val textPerplexitySb: Q = Q(
+    "text_perplexity_sb",
+    """WITH tok AS (
+      |  SELECT doc_id, lang, string_split(lower(text), ' ') AS t
+      |  FROM documents WHERE text IS NOT NULL),
+      |grams AS (
+      |  SELECT doc_id, lang,
+      |         unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+      |                i -> t[i] || ' ' || t[i+1])) AS bg
+      |  FROM tok),
+      |bd AS (
+      |  SELECT doc_id, lang, bg, CAST(count(*) AS BIGINT) AS k
+      |  FROM grams GROUP BY 1, 2, 3),
+      |pt AS (
+      |  SELECT bg, split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2
+      |  FROM (SELECT DISTINCT bg FROM bd)),
+      |entok AS (
+      |  SELECT unnest(t) AS w FROM tok WHERE lang = 'en'),
+      |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM entok GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n1,
+      |               CAST(count(DISTINCT w) AS BIGINT) AS v FROM entok),
+      |c2 AS (
+      |  SELECT bg, CAST(count(*) AS BIGINT) AS c FROM (
+      |    SELECT unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+      |           i -> t[i] || ' ' || t[i+1])) AS bg
+      |    FROM tok WHERE lang = 'en') GROUP BY 1),
+      |model AS (
+      |  SELECT pt.bg,
+      |         CAST(round(CASE WHEN c2.c IS NOT NULL AND u1.c IS NOT NULL
+      |              THEN ln(CAST(c2.c AS DOUBLE) / u1.c)
+      |              ELSE ln(0.4 * (coalesce(u2.c, 0) + 1)
+      |                      / greatest(tot.n1 + tot.v, 1)) END * 1e6) AS BIGINT) AS lw_q
+      |  FROM pt LEFT JOIN c2 ON pt.bg = c2.bg
+      |          LEFT JOIN c1 u1 ON pt.w1 = u1.w
+      |          LEFT JOIN c1 u2 ON pt.w2 = u2.w
+      |          CROSS JOIN tot),
+      |scored AS (
+      |  SELECT bd.doc_id, min(bd.lang) AS lang,
+      |         CAST(sum(bd.k) AS BIGINT) AS n_bigrams,
+      |         CAST(sum(bd.k * m.lw_q) AS BIGINT) AS sum_lp_micros
+      |  FROM bd JOIN model m ON bd.bg = m.bg GROUP BY 1),
+      |ranked AS (
+      |  SELECT doc_id, lang, n_bigrams, sum_lp_micros,
+      |         ((2 * sum_lp_micros
+      |           + CASE WHEN sum_lp_micros < 0 THEN -n_bigrams ELSE n_bigrams END)
+      |          // (2 * n_bigrams)) AS mean_q
+      |  FROM scored)
+      |SELECT doc_id, lang, n_bigrams, sum_lp_micros,
+      |       mean_q / 1000000.0 AS mean_logprob,
+      |       round(exp(-mean_q / 1000000.0), 6) AS ppl
+      |FROM ranked
+      |ORDER BY mean_q ASC, sum_lp_micros ASC, doc_id ASC
+      |LIMIT 25""".stripMargin
+  ) { (s, d) =>
+    val tok = T.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), split(lower(col("text")), " ").as("t"))
+    val grams = tok.select(col("doc_id"), col("lang"),
+      explode(expr(bigramsOfT)).as("bg"))
+    val bd = grams.groupBy(col("doc_id"), col("lang"), col("bg"))
+      .agg(count(lit(1)).as("k"))
+    val pt = bd.select(col("bg")).distinct()
+      .select(col("bg"),
+        expr("element_at(split(bg, ' '), 1)").as("w1"),
+        expr("element_at(split(bg, ' '), 2)").as("w2"))
+    val enTok = tok.filter(col("lang") === "en")
+    val entok = enTok.select(explode(col("t")).as("w"))
+    val c1 = entok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = entok.agg(count(lit(1)).cast("long").as("n1"),
+      countDistinct(col("w")).cast("long").as("v"))
+    val c2 = enTok.select(explode(expr(bigramsOfT)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val model = pt.join(c2, Seq("bg"), "left")
+      .join(c1.select(col("w").as("w1"), col("c").as("u1")), Seq("w1"), "left")
+      .join(c1.select(col("w").as("w2"), col("c").as("u2")), Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("bg"),
+        round(when(col("c2").isNotNull && col("u1").isNotNull,
+            log(col("c2").cast("double") / col("u1")))
+          .otherwise(log(lit(0.4) * (coalesce(col("u2"), lit(0L)) + 1)
+            / greatest(col("n1") + col("v"), lit(1L)))) * 1e6)
+          .cast("long").as("lw_q"))
+    val scored = bd.join(model, "bg")
+      .groupBy(col("doc_id"))
+      .agg(min(col("lang")).as("lang"),
+        sum(col("k")).cast("long").as("n_bigrams"),
+        sum(col("k") * col("lw_q")).cast("long").as("sum_lp_micros"))
+    val ranked = scored.withColumn("mean_q", expr(
+      """((2 * sum_lp_micros
+          + (CASE WHEN sum_lp_micros < 0 THEN -n_bigrams ELSE n_bigrams END))
+         div (2 * n_bigrams))"""))
+    ranked
+      .orderBy(col("mean_q").asc, col("sum_lp_micros").asc, col("doc_id").asc)
+      .limit(25)
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("sum_lp_micros"),
+        (col("mean_q") / lit(1000000.0)).as("mean_logprob"),
+        round(exp(-col("mean_q") / lit(1000000.0)), 6).as("ppl"))
+  }
+
+  val all: Seq[Q] = Seq(textPerplexitySb)
+}

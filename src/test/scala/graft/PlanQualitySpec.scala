@@ -74,7 +74,8 @@ class PlanQualitySpec extends SparkSpec {
     "ts_peak_composition" -> 1, // 1-row corpus-total aggregate crossed into the 5·|types|-row peak table
     "dedup_semdedup"      -> 12, // 1-row k cross + min(√n,256)-row centroid assignment crosses (ann_ivf_* shape); the within-cluster pair join stays an EQUI-join on cent_id — a 13th node is a regression
     "dedup_semdedup_capped" -> 15, // same k + assignment crosses + the ≤256-row centroid re-attach for ccos ranking; the pair join is an equi-join on (cent_id, bkt)
-    "quality_gopher_rules" -> 1) // 1-row top-8 stopword list crossed into the per-doc rule projection
+    "quality_gopher_rules" -> 1, // 1-row top-8 stopword list crossed into the per-doc rule projection
+    "text_perplexity_sb"  -> 1) // 1-row (N1, V) en-slice totals crossed into the bigram-type model
     // join_null_safe needs no excuse: EqualNullSafe is a hash-joinable key (BroadcastHashJoin verified)
     // dedup_embedding was allowlisted through r2 (all-pairs BNLJ); it is
     // now banded sign-LSH with an equi-join — no cross join to excuse
@@ -111,6 +112,7 @@ class PlanQualitySpec extends SparkSpec {
     "eval_ndcg_rankshift" -> 2, // row_number over TakeOrdered(10) frames (r12 rewrite; was |suppliers|)
     "mixture_weights"     -> 1, // totals over the |langs|-row share table
     "sample_dsir"         -> 1, // model totals over the ≤1024-row hashed-bucket table
+    "stats_bh_fdr"        -> 3, // rank + step-up max + complement totals over the CARDINALITY-5 segment table (IN-list bound)
     "stats_bootstrap"     -> 2, // binned-cumulative prefix over the value-DOMAIN bin table (≤ val_range/1e6 rows)
     "stats_ks"            -> 1, // binned-cumulative prefix over the cents-domain bin table
     "stats_mann_whitney"  -> 1, // binned-cumulative prefix over the cents-domain bin table
