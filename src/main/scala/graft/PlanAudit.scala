@@ -23,17 +23,35 @@ object PlanAudit {
     // shuffle joins keyed on a skewable FK (both feed PlanQualitySpec's
     // pinned expected sets). The skewjoin walk disables auto-broadcast
     // so tiny sf0.001 inputs show the join strategy used at scale.
-    if (mode == "window" || mode == "skewjoin" || mode == "joins") {
+    if (mode == "window" || mode == "skewjoin" || mode == "joins" || mode == "windowrows") {
       if (mode == "skewjoin" || mode == "joins")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // "windowrows" EXECUTES each allowlisted query and reports the
+      // measured input row count of every unpartitioned WindowExec
+      // (WindowExec emits exactly one output row per input row, so its
+      // numOutputRows metric IS the rows-on-one-partition figure). AQE
+      // off so the executed plan keeps plain WindowExec nodes visible.
+      if (mode == "windowrows") spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val skewIds =
+        if (mode == "skewjoin") PlanWalk.skewableIds ++ PlanWalk.deriveSkewableIds(spark, sfDir)
+        else PlanWalk.skewableIds
       SparkEntry.declared.foreach { q =>
         try {
-          val plan = q.fn(spark, sfDir).queryExecution.sparkPlan
+          val df = q.fn(spark, sfDir)
+          val plan = df.queryExecution.sparkPlan
           val hits =
             if (mode == "window")
               PlanWalk.unpartitionedWindows(plan).map(w =>
                 s"win[${w.windowExpression.map(_.sql).mkString(",").take(90)}]")
-            else if (mode == "skewjoin") PlanWalk.skewRiskJoins(plan)
+            else if (mode == "windowrows") {
+              if (PlanWalk.unpartitionedWindows(plan).isEmpty) Nil
+              else {
+                df.foreach(_ => ())
+                PlanWalk.unpartitionedWindows(df.queryExecution.executedPlan).map(w =>
+                  s"rows=${w.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)}")
+              }
+            }
+            else if (mode == "skewjoin") PlanWalk.skewRiskJoins(plan, skewIds)
             else plan.collect {
               // "joins": every SHUFFLE join with its equi-key names — the
               // TimeQ candidate set for skew-corpus timing sweeps

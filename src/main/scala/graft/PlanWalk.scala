@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.execution.{FileSourceScanExec, GlobalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, ExprId, NamedExpression}
+import org.apache.spark.sql.execution.{FileSourceScanExec, GlobalLimitExec, ProjectExec, SparkPlan, TakeOrderedAndProjectExec}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
 import org.apache.spark.sql.execution.window.WindowExec
@@ -15,20 +17,33 @@ import org.apache.spark.sql.execution.window.WindowExec
   *     |nations|²-bounded aggregate), fatal when it's corpus-
   *     proportional;
   *
-  *  2. skew-risk shuffle joins — an equi-join keyed on a SKEWABLE id
-  *     (a fact-table FK a heavy-hitter corpus concentrates: o_custkey,
-  *     l_suppkey, l_partkey, user_id — the exact columns graft.SkewUp
-  *     remaps; table PKs like doc_id/vec_id can't skew, they're unique)
-  *     where BOTH inputs are corpus-proportional and un-reduced. That
-  *     is the fact×fact pair-emitting shape that went quadratic in
-  *     event_attribution under 30% skew (r11: 1.16 s → 197 s) — a
-  *     one-side-aggregated join stays linear (≤1 row per key on the
-  *     reduced side), and broadcast joins never shuffle the probe side
-  *     on the key, so neither is flagged.
+  *  2. skew-risk shuffle joins — an equi-join whose key resolves (through
+  *     Project/Alias lineage) to a NON-UNIQUE fact-table key column on
+  *     BOTH sides, with both inputs corpus-proportional and carrying an
+  *     un-reduced fact-scan path to the join. That is the fact×fact
+  *     pair-emitting shape that went quadratic in event_attribution
+  *     under 30% skew (r11: 1.16 s → 197 s): a hot key with multiplicity
+  *     m on both sides emits m² rows. Three shapes stay LINEAR and are
+  *     deliberately not flagged: a one-side-aggregated join (≤1 row per
+  *     key on the reduced side), a join whose key is UNIQUE on one side
+  *     (a PK — ≤1 matched row per probe, so orders⋈lineitem on orderkey
+  *     is m×1), and broadcast joins (never shuffle the probe side).
+  *
+  * r13 hardening (VERDICT r12 item 1): join keys are resolved to their
+  * ORIGIN scan columns through ProjectExec Alias chains, so
+  * `withColumn("uid", col("user_id"))` or `concat(user_id, bucket)`
+  * cannot slip the match; and the reduction check walks the PATH from
+  * each fact scan to the join (an un-reduced fact scan joined alongside
+  * an aggregated sibling branch no longer escapes).
   */
 object PlanWalk {
 
-  /** FKs a heavy-hitter workload concentrates (graft.SkewUp's remap set). */
+  /** Non-unique fact-table key columns a heavy-hitter workload can
+    * concentrate. The pinned MINIMUM is graft.SkewUp's remap set; the
+    * gate runs on `skewableIds ++ deriveSkewableIds(...)` so a fixture
+    * column that is renamed or added later cannot silently exit the
+    * gate (VERDICT r12 item 4).
+    */
   val skewableIds: Set[String] = Set("o_custkey", "l_suppkey", "l_partkey", "user_id")
 
   /** Corpus-proportional tables: everything that grows with SF except
@@ -38,49 +53,124 @@ object PlanWalk {
     */
   val factTables: Set[String] = Set("orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Derive the skew-candidate set from the fixture data itself: every
+    * key-named column (`*_id` / `*key`) of a fact table that is
+    * NON-UNIQUE in that table. Uniqueness is measured on the given sf
+    * dir (sf0.001 suffices: the generators keep FK multiplicity shapes
+    * across SFs). Unique columns (PKs: o_orderkey-in-orders, event_id,
+    * doc_id, vec_id) can't concentrate — every key has exactly one row.
+    */
+  def deriveSkewableIds(spark: SparkSession, sfDir: String): Set[String] = {
+    import org.apache.spark.sql.functions.{count_distinct, col, count, lit}
+    val keyName = "(?i)(_id|key)$".r
+    factTables.flatMap { t =>
+      val df = spark.read.parquet(s"$sfDir/$t.parquet")
+      val keyCols = df.columns.filter(c => keyName.findFirstIn(c).isDefined)
+      if (keyCols.isEmpty) Nil
+      else {
+        val aggs = count(lit(1)).as("_n") +: keyCols.map(c => count_distinct(col(c)).as(c))
+        val r = df.agg(aggs.head, aggs.tail: _*).head()
+        val n = r.getLong(0)
+        keyCols.zipWithIndex.collect { case (c, i) if r.getLong(i + 1) < n => c }
+      }
+    }
+  }
+
   /** Unpartitioned WindowExec nodes (each sorts its whole input on ONE
     * partition at scale).
     */
   def unpartitionedWindows(p: SparkPlan): Seq[WindowExec] =
     p.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
 
-  private def scansFact(p: SparkPlan): Boolean = p.collectFirst {
-    case f: FileSourceScanExec if f.relation.location.rootPaths.exists(rp =>
-      factTables.exists(t => rp.toString.contains(s"/$t.parquet"))) => ()
-  }.isDefined
+  private def isFactScan(f: FileSourceScanExec): Boolean =
+    f.relation.location.rootPaths.exists(rp =>
+      factTables.exists(t => rp.toString.contains(s"/$t.parquet")))
 
-  /** Whether the subtree contains a cardinality-reducing barrier between
-    * its scans and the join: any aggregate (per-key multiplicity
-    * collapses to 1 for the grouped keys) or a limit/top-k (bounded row
-    * count outright). Heuristic, not a proof — an aggregate grouped on
-    * a DIFFERENT key than the join key still passes; the gate's pinned
+  /** True iff some fact-scan leaf reaches `p`'s root with NO
+    * cardinality barrier (aggregate / limit / top-k) on its path. This
+    * is the r13 path walk replacing the old subtree-anywhere `reduced`
+    * check (ADVICE r12: an un-reduced fact scan joined alongside an
+    * aggregated sibling branch on the SAME side escaped the old test).
+    * Heuristic, not a proof — an aggregate grouped on a DIFFERENT key
+    * than the join key still counts as a barrier; the gate's pinned
     * expected-set in PlanQualitySpec is the review point for those.
     */
-  private def reduced(p: SparkPlan): Boolean = p.collectFirst {
-    case _: BaseAggregateExec => ()
-    case _: GlobalLimitExec => ()
-    case _: TakeOrderedAndProjectExec => ()
-  }.isDefined
+  private def hasUnreducedFactPath(p: SparkPlan): Boolean = p match {
+    case _: BaseAggregateExec | _: GlobalLimitExec | _: TakeOrderedAndProjectExec => false
+    case f: FileSourceScanExec => isFactScan(f)
+    case other => other.children.exists(hasUnreducedFactPath)
+  }
 
-  private def onSkewableKey(keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Option[String] =
-    keys.flatMap(_.references.map(_.name)).find(skewableIds)
+  /** Origin-column lineage: maps each attribute ExprId visible in `p`'s
+    * subtree to the set of FILE-SCAN column names it derives from,
+    * following Alias chains through ProjectExec and aggregate
+    * result/grouping expressions. A derived key (`concat(user_id,
+    * bucket)` aliased to `k`) maps to ALL its source columns, so the
+    * skew match survives renames and composites.
+    */
+  private def originNames(p: SparkPlan): Map[ExprId, Set[String]] = {
+    def resolveNamed(exprs: Seq[NamedExpression], child: Map[ExprId, Set[String]]): Map[ExprId, Set[String]] =
+      exprs.map {
+        case a: Alias =>
+          a.exprId -> a.child.references.toSeq.flatMap(r => child.getOrElse(r.exprId, Set(r.name))).toSet
+        case attr: Attribute =>
+          attr.exprId -> child.getOrElse(attr.exprId, Set(attr.name))
+        case ne =>
+          ne.exprId -> ne.references.toSeq.flatMap(r => child.getOrElse(r.exprId, Set(r.name))).toSet
+      }.toMap
+    p match {
+      case f: FileSourceScanExec =>
+        f.output.map(a => a.exprId -> Set(a.name)).toMap
+      case proj: ProjectExec =>
+        val below = originNames(proj.child)
+        below ++ resolveNamed(proj.projectList, below)
+      case agg: BaseAggregateExec =>
+        val below = originNames(agg.child)
+        below ++ resolveNamed(agg.groupingExpressions, below) ++ resolveNamed(agg.resultExpressions, below)
+      case other =>
+        other.children.map(originNames).foldLeft(Map.empty[ExprId, Set[String]])(_ ++ _)
+    }
+  }
+
+  private def pairEmitting(jt: org.apache.spark.sql.catalyst.plans.JoinType): Boolean = jt match {
+    case org.apache.spark.sql.catalyst.plans.LeftSemi => false
+    case org.apache.spark.sql.catalyst.plans.LeftAnti => false
+    case _: org.apache.spark.sql.catalyst.plans.ExistenceJoin => false
+    case _ => true
+  }
+
+  private def keyOrigins(keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+                         lineage: Map[ExprId, Set[String]]): Set[String] =
+    keys.flatMap(_.references.toSeq.flatMap(a => lineage.getOrElse(a.exprId, Set(a.name)))).toSet
 
   /** Skew-risk joins: shuffle equi-joins (SortMergeJoin/ShuffledHashJoin
-    * — the strategies that PARTITION BY the key) on a skewable id where
-    * both children are fact-proportional and un-reduced. Run with
+    * — the strategies that PARTITION BY the key) whose key origins hit a
+    * skewable (non-unique fact) column on BOTH sides, where both
+    * children carry an un-reduced fact-scan path. Run with
     * autoBroadcastJoinThreshold = -1 so the sf0.001 plan shows the join
     * strategy the SAME query gets at scale (tiny test inputs otherwise
     * auto-broadcast everything; explicit broadcast() hints survive,
     * which is correct — a hinted build side is small at every SF).
     */
-  def skewRiskJoins(p: SparkPlan): Seq[String] = p.collect {
-    case j: SortMergeJoinExec => (j: SparkPlan, j.leftKeys ++ j.rightKeys, j.left, j.right)
-    case j: ShuffledHashJoinExec => (j: SparkPlan, j.leftKeys ++ j.rightKeys, j.left, j.right)
-  }.flatMap { case (j, keys, l, r) =>
-    onSkewableKey(keys) match {
-      case Some(k) if scansFact(l) && !reduced(l) && scansFact(r) && !reduced(r) =>
-        Some(s"${j.nodeName} on $k (both sides un-reduced fact scans)")
-      case _ => None
-    }
+  def skewRiskJoins(p: SparkPlan, ids: Set[String] = skewableIds): Seq[String] = p.collect {
+    // semi/anti/existence joins emit AT MOST ONE row per probe-side row
+    // regardless of build-side multiplicity — m×k collapses to m, so a
+    // hot key costs linear work (tpch_q21's EXISTS/NOT-EXISTS self-joins
+    // on l_orderkey are this shape). Only pair-emitting types flag.
+    case j: SortMergeJoinExec if pairEmitting(j.joinType) =>
+      (j: SparkPlan, j.leftKeys, j.rightKeys, j.left, j.right)
+    case j: ShuffledHashJoinExec if pairEmitting(j.joinType) =>
+      (j: SparkPlan, j.leftKeys, j.rightKeys, j.left, j.right)
+  }.flatMap { case (j, lKeys, rKeys, l, r) =>
+    if (hasUnreducedFactPath(l) && hasUnreducedFactPath(r)) {
+      val lHit = keyOrigins(lKeys, originNames(l)).intersect(ids)
+      val rHit = keyOrigins(rKeys, originNames(r)).intersect(ids)
+      // quadratic blow-up needs multiplicity >1 on BOTH sides: a key
+      // that is unique on one side (orders.o_orderkey vs lineitem.
+      // l_orderkey) joins m×1 per hot key — linear, not flagged
+      if (lHit.nonEmpty && rHit.nonEmpty)
+        Some(s"${j.nodeName} on ${(lHit ++ rHit).toSeq.sorted.mkString("+")} (both sides un-reduced fact paths)")
+      else None
+    } else None
   }
 }

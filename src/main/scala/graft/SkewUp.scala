@@ -69,10 +69,17 @@ object SkewUp {
       df.select(col(c).cast("long")).na.drop().distinct()
         .orderBy(col(c)).limit(hotK).collect().map(_.getLong(0)).toSeq
     // remap: a hot row lands on hotKeys[floor(u / (T/K))] — each hot key
-    // owns an equal hotPct/K slice of the uniform
+    // owns an equal hotPct/K slice of the uniform. Index math uses
+    // hotKeys.size, NOT the requested hotK: minKeys can return fewer
+    // keys than asked (a column with < hotK distinct values), and an
+    // index capped at hotK-1 would then read past the array end —
+    // element_at is non-ANSI here, so the overrun would silently write
+    // NULL FKs and corrupt the corpus (ADVICE r12).
     def remap(pkCol: String, salt: String, orig: Column, hotKeys: Seq[Long]): Column = {
+      require(hotKeys.nonEmpty, s"no distinct keys found for $salt remap")
+      val k = hotKeys.size
       val u = u32(pkCol, salt)
-      val idx = least(floor(u / lit(math.max(hotThresh / hotK, 1L))).cast("int"), lit(hotK - 1))
+      val idx = least(floor(u / lit(math.max(hotThresh / k, 1L))).cast("int"), lit(k - 1))
       when(u < lit(hotThresh),
         element_at(array(hotKeys.map(lit(_)): _*), idx + 1)).otherwise(orig)
     }

@@ -679,20 +679,44 @@ object NoOracle {
     }
   }
 
-  /** B7 depth surfaced to the driver: the WATERMARKED STREAM-STREAM
-    * interval join (each purchase ⋈ same-user clicks in the preceding
-    * 30 min) through Spark's unified API in batch mode — the watermark
-    * is a no-op on bounded input; the RUNTIME twin over MemoryStreams,
-    * where the watermark actually evicts join state, is pinned in
-    * StreamOpsSpec. Declared columns are the deterministic id pairs.
+  /** B7 depth surfaced to the driver: the purchase⋈click ATTRIBUTION
+    * INTERVAL JOIN (each purchase paired with every same-user click in
+    * the preceding 30 min). The streaming form is
+    * StreamOps.clickToPurchaseJoin (watermarked stream-stream join,
+    * runtime twin pinned in StreamOpsSpec) — there the watermark bounds
+    * per-user state to ≤1 h of clicks, so a hot user costs
+    * density-per-window, never corpus². Its BATCH plan, however, is a
+    * SortMergeJoin keyed on user_id alone with the time range as a
+    * POST-filter: it enumerates |clicks_u|×|purchases_u| candidates per
+    * user — 3.6e9 pairs for the 30 %-hot user of skew-sf1 against a
+    * TRUE output of 2.5e6 (r13 gate find; measured, not hypothetical —
+    * same class as r12's join_asof_nearest). The batch row therefore
+    * computes the identical pairs with a per-user RANGE-FRAME window:
+    * one shuffle on user_id, sort by event time, sliding
+    * [-30 min, 0] frame collecting click ids, explode on purchase rows.
+    * Work and memory are OUTPUT-proportional (frame size = per-user
+    * 30-min click density); no join, nothing for a hot key to square.
+    * Equivalence to the stream-operator batch plan is pinned in
+    * StreamOpsSpec on two SFs; rows with null user_id or null ts are
+    * excluded exactly as the join's null-rejecting predicate does.
     */
   val streamJoinBatchRun: Q = Q.noOracle("b7_stream_join") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
     val ev = T.events(s, d)
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
-    graft.streaming.StreamOps.clickToPurchaseJoin(
-      ev.filter(col("event_type") === "click"),
-      ev.filter(col("event_type") === "purchase"))
-      .select(col("purchase_id"), col("click_id"), col("user_id"))
+      .filter(col("event_type").isin("click", "purchase") &&
+        col("user_id").isNotNull && col("ts").isNotNull)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"))
+      .rangeBetween(-1800L * 1000000L, 0L)
+    ev.withColumn("t_us", unix_micros(col("ts")))
+      // struct-wrap so a click with a NULL event_id (nulled corpus)
+      // still contributes a pair, as the join form does
+      .withColumn("cks",
+        collect_list(when(col("event_type") === "click", struct(col("event_id")))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        explode(col("cks")).as("ck"), col("user_id"))
+      .select(col("purchase_id"), col("ck.event_id").as("click_id"), col("user_id"))
       .orderBy(col("purchase_id").asc_nulls_first, col("click_id").asc_nulls_first)
   }
 

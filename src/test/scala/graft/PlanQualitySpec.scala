@@ -148,26 +148,48 @@ class PlanQualitySpec extends SparkSpec {
     assert(PlanWalk.unpartitionedWindows(df.queryExecution.sparkPlan).size === 1)
   }
 
-  // The fact×fact heavy-hitter gate (VERDICT r11 item 1): no shuffle
-  // equi-join on a skewable FK (o_custkey / l_suppkey / l_partkey /
-  // user_id — graft.SkewUp's remap set) may have BOTH sides un-reduced
-  // corpus scans. That shape emits |left_k|×|right_k| rows for a hot
-  // key: event_attribution went 1.16 s → 197 s at 30% skew before its
-  // r11 as-of rewrite, and this gate's first run caught the composite-
-  // key variant the r11 manual grep missed (join_asof_nearest's
-  // (user_id, hour-bucket) join — 6.69 s → 1.47 s on skew-sf1 after its
-  // r12 as-of rewrite). Expected set: EMPTY. Plans are derived with
-  // auto-broadcast disabled so tiny sf0.001 inputs show the join
-  // strategy the same query gets at scale; explicit broadcast() hints
-  // survive, which is correct (a hinted build side is small at any SF).
+  // The fact×fact heavy-hitter gate (VERDICT r11 item 1, hardened r13
+  // per VERDICT r12 item 1/4): no pair-emitting shuffle equi-join whose
+  // key ORIGINS (traced through Project/Alias lineage, so renames and
+  // derived composites can't slip the match) hit a skewable id on BOTH
+  // sides may have both sides carry an un-reduced fact-scan PATH. That
+  // shape emits |left_k|×|right_k| rows for a hot key:
+  // event_attribution went 1.16 s → 197 s at 30% skew before its r11
+  // as-of rewrite; the r12 gate caught join_asof_nearest's composite
+  // key (6.69 s → 1.47 s after rewrite); the r13 lineage walk caught
+  // b7_stream_join's RENAMED key (p_user/c_user — 3.6e9 SMJ candidates
+  // for skew-sf1's hot user vs 2.5e6 true pairs, rewritten as a
+  // range-frame window). The skewable set is the pinned SkewUp minimum
+  // UNION the set DERIVED from the fixtures themselves (every
+  // non-unique *_id/*key column of a fact table), so a renamed or
+  // future FK can't silently exit the gate. Expected set: EMPTY.
+  // Plans are derived with auto-broadcast disabled so tiny sf0.001
+  // inputs show the join strategy the same query gets at scale;
+  // explicit broadcast() hints survive, which is correct (a hinted
+  // build side is small at any SF).
+  private lazy val derivedSkewIds = PlanWalk.deriveSkewableIds(spark, sf())
+  private lazy val effectiveSkewIds = PlanWalk.skewableIds ++ derivedSkewIds
+
+  test("derived skewable ids cover the pinned SkewUp minimum (and find l_orderkey)") {
+    assert(PlanWalk.skewableIds.subsetOf(derivedSkewIds),
+      s"derivation regressed — pinned ${PlanWalk.skewableIds} not all derived ($derivedSkewIds)")
+    // the derivation must see PAST the pinned set: l_orderkey is
+    // non-unique in lineitem but not in SkewUp's remap set
+    assert(derivedSkewIds.contains("l_orderkey"), s"derived=$derivedSkewIds")
+  }
+
   test("no query shuffle-joins two un-reduced fact scans on a skewable id") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val offenders = SparkEntry.declared.flatMap { q =>
+        // a query that fails to PLAN is an offender, not a free pass
+        // (ADVICE r12: swallowing the exception let planning failures
+        // silently pass this gate; the window gate's -1 sentinel is the
+        // model)
         val hits =
-          try PlanWalk.skewRiskJoins(q.fn(spark, sf()).queryExecution.sparkPlan)
-          catch { case _: Throwable => Nil }
+          try PlanWalk.skewRiskJoins(q.fn(spark, sf()).queryExecution.sparkPlan, effectiveSkewIds)
+          catch { case e: Throwable => Seq(s"PLAN-FAILED ${e.getMessage}") }
         hits.map(h => s"${q.name}: $h")
       }
       assert(offenders.isEmpty,
@@ -197,6 +219,55 @@ class PlanQualitySpec extends SparkSpec {
       val ok2 = ord.join(cust, col("o_custkey") === col("c_custkey"))
       assert(PlanWalk.skewRiskJoins(ok2.queryExecution.sparkPlan).isEmpty,
         "fact×dim join on the dim PK must not be flagged")
+      // semi/anti joins emit ≤1 row per probe row → linear, not flagged
+      val ok3 = ev.filter(col("event_type") === "purchase")
+        .join(ev.filter(col("event_type") === "click").select(col("user_id")),
+          Seq("user_id"), "left_semi")
+      assert(PlanWalk.skewRiskJoins(ok3.queryExecution.sparkPlan).isEmpty,
+        "semi join must not be flagged")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("skewjoin walk traces lineage: aliased, derived, and sibling-masked keys ARE flagged") {
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ev = spark.read.parquet(s"${sf()}/events.parquet")
+      // (a) VERDICT r12 red fixture: the key is RENAMED on both sides
+      // before the join — the r12 name match let this through
+      val aliased = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("uid"), col("ts"))
+        .join(ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("uid"), col("ts").as("cts")), "uid")
+      assert(PlanWalk.skewRiskJoins(aliased.queryExecution.sparkPlan).nonEmpty,
+        "alias-renamed skewable key must be flagged")
+      // (b) DERIVED composite key: concat(user_id, bucket) — origins
+      // must surface user_id through the expression
+      val derived = ev.select(concat(col("user_id"), lit("_"), col("event_type")).as("k"), col("ts"))
+        .join(ev.select(concat(col("user_id"), lit("_"), col("event_type")).as("k"),
+          col("ts").as("ts2")), "k")
+      assert(PlanWalk.skewRiskJoins(derived.queryExecution.sparkPlan).nonEmpty,
+        "derived composite key over a skewable column must be flagged")
+      // (c) ADVICE r12: an un-reduced fact scan joined ALONGSIDE an
+      // aggregated branch on the same side — the old subtree-anywhere
+      // `reduced` check saw the sibling aggregate and passed the side
+      val enriched = ev.join(
+        ev.groupBy("event_type").agg(count(lit(1)).as("type_n")), "event_type")
+      val masked = enriched.join(
+        ev.select(col("user_id"), col("ts").as("ts2")), "user_id")
+      assert(PlanWalk.skewRiskJoins(masked.queryExecution.sparkPlan).nonEmpty,
+        "un-reduced fact path masked by a sibling aggregate must be flagged")
+      // (d) VERDICT r12 item 4 red fixture: a non-unique fact key that
+      // is NOT in the pinned SkewUp set (l_orderkey) — only the DERIVED
+      // set catches a pair-emitting self-join on it
+      val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      val selfPairs = li.select(col("l_orderkey"), col("l_suppkey"))
+        .join(li.select(col("l_orderkey"), col("l_suppkey").as("s2")), "l_orderkey")
+      assert(PlanWalk.skewRiskJoins(selfPairs.queryExecution.sparkPlan).isEmpty,
+        "pinned-only set must MISS l_orderkey (documents why derivation exists)")
+      assert(PlanWalk.skewRiskJoins(selfPairs.queryExecution.sparkPlan, effectiveSkewIds).nonEmpty,
+        "derived set must flag the l_orderkey self-join")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 

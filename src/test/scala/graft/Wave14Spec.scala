@@ -30,7 +30,10 @@ class Wave14Spec extends SparkSpec {
         case Some(c) if c1.contains(w1) => math.log(c.toDouble / c1(w1))
         case _ => math.log(0.4 * (c1.getOrElse(w2, 0L) + 1) / math.max(n1 + v, 1L).toDouble)
       }
-      math.round(s * 1e6)
+      // HALF_UP (away from zero), matching Spark's round() — math.round
+      // is half-toward-+inf, which diverges on an exact negative .5 tie
+      // (ADVICE r12; same tie class round6 already handles)
+      JBD.valueOf(s * 1e6).setScale(0, RoundingMode.HALF_UP).longValueExact()
     }
     val scored = docs.flatMap { case (id, lang, t) =>
       val pairs = t.sliding(2).filter(_.size == 2).toSeq

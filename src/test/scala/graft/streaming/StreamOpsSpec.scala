@@ -207,6 +207,29 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == Set((20L, 10L), (22L, 12L)))
   }
 
+  test("b7_stream_join range-frame rewrite ≡ stream-operator batch plan (two SFs)") {
+    // r13: the declared batch row computes the interval join with a
+    // per-user range-frame window (output-proportional; the SMJ batch
+    // plan of the stream operator enumerates |clicks_u|×|purchases_u|
+    // candidates per user — 3.6e9 for skew-sf1's hot user vs 2.5e6 true
+    // pairs). Pin exact pair-set equality against the stream operator
+    // run in batch mode on two SFs.
+    import org.apache.spark.sql.functions._
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val ev = graft.Tables.events(spark, d)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      val want = StreamOps.clickToPurchaseJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"))
+        .select(col("purchase_id"), col("click_id"), col("user_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      val got = graft.SparkEntry.queries("b7_stream_join")(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(got.nonEmpty, s"$d: no pairs — fixture degenerate")
+      assert(got == want, s"$d: range-frame rewrite diverges from the join form")
+    }
+  }
+
   test("native session_window runtime: out-of-order feed matches batch operator; exact gap MERGES") {
     import spark.implicits._
     // stream_session_native's oracle pins `>` (an event exactly gap
