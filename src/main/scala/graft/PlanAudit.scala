@@ -45,11 +45,7 @@ object PlanAudit {
                 s"win[${w.windowExpression.map(_.sql).mkString(",").take(90)}]")
             else if (mode == "windowrows") {
               if (PlanWalk.unpartitionedWindows(plan).isEmpty) Nil
-              else {
-                df.foreach(_ => ())
-                PlanWalk.unpartitionedWindows(df.queryExecution.executedPlan).map(w =>
-                  s"rows=${w.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)}")
-              }
+              else PlanWalk.unpartitionedWindowInputRows(df).map(n => s"rows=$n")
             }
             else if (mode == "skewjoin") PlanWalk.skewRiskJoins(plan, skewIds)
             else plan.collect {

@@ -82,6 +82,19 @@ object PlanWalk {
   def unpartitionedWindows(p: SparkPlan): Seq[WindowExec] =
     p.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
 
+  /** MEASURED input row count of every unpartitioned WindowExec in the
+    * query's executed plan — the rows that actually land on the single
+    * partition. Executes each window's child subtree (AQE must be OFF
+    * so plain WindowExec nodes stay visible in executedPlan; the caller
+    * sets the conf). This turns the allowlist's "bounded by
+    * construction" prose into numbers a spec can assert (VERDICT r12
+    * item 1b).
+    */
+  def unpartitionedWindowInputRows(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w.child.execute().count()
+    }
+
   private def isFactScan(f: FileSourceScanExec): Boolean =
     f.relation.location.rootPaths.exists(rp =>
       factTables.exists(t => rp.toString.contains(s"/$t.parquet")))

@@ -125,7 +125,61 @@ class PlanQualitySpec extends SparkSpec {
     "ts_burst_detect"     -> 1, // row_number over the CALENDAR-BOUNDED hourly aggregate
     "ts_changepoint_mean" -> 1, // cumulative over the CALENDAR-BOUNDED daily aggregate
     "ts_max_deficit"      -> 2, // cumulative + row_number over the CALENDAR-BOUNDED daily aggregate
-    "ts_rolling_corr"     -> 1) // row_number over the month-granular (≤ |months|) aggregate
+    "ts_rolling_corr"     -> 1) // rolling corr over the per-MINUTE aggregate (≤ corpus minutes — 43.2k for the 30-day fixture, ~526k/year; r13: the old "month-granular" prose here was wrong, caught by the measured-bounds gate below)
+
+  // The boundedness claims above, as NUMBERS (VERDICT r12 item 1b): the
+  // maximum rows allowed to enter any single unpartitioned window of
+  // the query — measured by EXECUTING each window's child subtree
+  // (PlanWalk.unpartitionedWindowInputRows), asserted at sf0.01 always
+  // and at sf1 when the synthesized corpus is present. sf1 measurements
+  // 2026-08-15 (BASELINE §r13): eval_ndcg_rankshift 10|10,
+  // mixture_weights 5, sample_dsir 1024 (the cap, exactly), stats_bh_fdr
+  // 5|5|5, stats_bootstrap 92, stats_ks 50, stats_mann_whitney 50,
+  // stats_runs_test 29|30, stats_spearman 1|11, stats_wilcoxon 20,
+  // survival_km 1113|1116, text_rarity 25, ts_backlog 2500,
+  // ts_burst_detect 0, ts_changepoint_mean 30, ts_max_deficit 30|30,
+  // ts_rolling_corr 5953 (minutes with both series populated, of 43.2k
+  // fixture minutes).
+  private val windowInputBounds = Map(
+    "eval_ndcg_rankshift" -> 10L,    // TakeOrdered(10) feeds both rankings — exact
+    "mixture_weights"     -> 16L,    // |langs|
+    "sample_dsir"         -> 1024L,  // the hashed-bucket model cap — exact
+    "stats_bh_fdr"        -> 5L,     // the IN-list segment table — exact
+    "stats_bootstrap"     -> 400L,   // value-domain bins (val_range/1e6)
+    "stats_ks"            -> 200L,   // cents-domain bins
+    "stats_mann_whitney"  -> 200L,   // cents-domain bins
+    "stats_runs_test"     -> 60L,    // calendar days of the fixture month
+    "stats_spearman"      -> 50L,    // two cents-domain bin tables
+    "stats_wilcoxon"      -> 60L,    // distinct |daily diff| values ≤ |days|
+    "survival_km"         -> 3000L,  // day-granular durations ≤ |order days|
+    "text_rarity"         -> 25L,    // TakeOrdered(25) — exact
+    "ts_backlog"          -> 3000L,  // calendar days of the order-date span
+    "ts_burst_detect"     -> 8L,     // burst-qualified hours of the fixture month
+    "ts_changepoint_mean" -> 60L,    // calendar days of the fixture month
+    "ts_max_deficit"      -> 60L,    // calendar days of the fixture month
+    "ts_rolling_corr"     -> 44640L) // corpus minutes (31 d × 1440; ~526k/year at any SF)
+
+  test("every allowlisted unpartitioned window's input is MEASURED under its claimed bound") {
+    assert(windowInputBounds.keySet == intendedUnpartitionedWindows.keySet,
+      "bound map and allowlist diverged")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // keep WindowExec visible in executedPlan
+    try {
+      val sf1 = "/tmp/graft_sf1"
+      val dirs = Seq(sf("sf0.01")) ++
+        (if (new java.io.File(s"$sf1/events.parquet").exists) Seq(sf1) else Nil)
+      val offenders = for {
+        dir <- dirs
+        (name, bound) <- windowInputBounds.toSeq
+        rows = try PlanWalk.unpartitionedWindowInputRows(
+            SparkEntry.queries(name)(spark, dir))
+          catch { case e: Throwable => Seq(-1L) } // execution failure = offender
+        r <- rows if r > bound || r < 0
+      } yield s"$name@$dir: window input $r rows > bound $bound"
+      assert(offenders.isEmpty,
+        s"unpartitioned-window input exceeded its claimed bound:\n  ${offenders.mkString("\n  ")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 
   test("unpartitioned-window node counts match the per-query intended counts exactly") {
     val offenders = SparkEntry.declared.flatMap { q =>
