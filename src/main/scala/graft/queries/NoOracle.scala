@@ -699,8 +699,21 @@ object NoOracle {
     * Equivalence to the stream-operator batch plan is pinned in
     * StreamOpsSpec on two SFs; rows with null user_id or null ts are
     * excluded exactly as the join's null-rejecting predicate does.
+    *
+    * r13 upgrade: this row is now ORACLE-CHECKED (it sat in the 2B
+    * rows-only class for historic reasons — the pair semantics are
+    * plain ANSI SQL, so DuckDB runs the join form directly and the
+    * window rewrite must reproduce it pair-for-pair).
     */
-  val streamJoinBatchRun: Q = Q.noOracle("b7_stream_join") { (s, d) =>
+  val streamJoinBatchRun: Q = Q(
+    "b7_stream_join",
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+      |ORDER BY purchase_id NULLS FIRST, click_id NULLS FIRST""".stripMargin
+  ) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val ev = T.events(s, d)
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
