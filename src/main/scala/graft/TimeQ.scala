@@ -20,9 +20,12 @@ object TimeQ {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_PASSES=1 for third-decade probes where a median-of-3
+    // would cost hours (r13 sf100 sweep); default stays median-of-3
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
-      val times = (1 to 3).map { _ =>
+      val times = (1 to passes).map { _ =>
         // caching queries (text_langid, b6 LSH) must not serve runs
         // 2..3 from the CacheManager — same policy as Bench's passes
         spark.catalog.clearCache()
@@ -30,7 +33,7 @@ object TimeQ {
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      println(f"$n%-28s median=${times(1)}%6.2f s  (${times.mkString(", ")})")
+      println(f"$n%-28s median=${times(times.size / 2)}%6.2f s  (${times.mkString(", ")})")
     }
     spark.stop()
   }

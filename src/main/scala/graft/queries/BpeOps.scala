@@ -243,5 +243,55 @@ object BpeOps {
       .orderBy(col("pack_bucket"), col("bin_id"))
   }
 
-  def all: Seq[Q] = Seq(textBpeTokens, textBpeFull, packSequencesBpe)
+  /** Tokenizer FERTILITY by language (Rust et al. 2021, "How Good is
+    * Your Tokenizer?"): subwords per whitespace word, the standard
+    * cross-lingual tokenizer-equity metric — a language whose fertility
+    * under a shared tokenizer is much higher than the corpus median
+    * pays proportionally more compute per word and gets shorter
+    * effective context, which is exactly what a multilingual data
+    * pipeline must surface BEFORE training. Reported per lang (null
+    * lang is its own bucket, as everywhere in the documents family):
+    * document count, word count, subword count under the pinned
+    * 32-merge anchor tokenizer, and fertility = subwords/word.
+    *
+    * Scale shape inherited from text_bpe_tokens: the fold runs on the
+    * DISTINCT-WORD vocabulary (language-bounded, Heaps' law) and joins
+    * back as a broadcast map; the corpus-side work is one linear
+    * explode with map-side partial aggregation into |langs| groups.
+    * Fertility is one double division over exact BIGINT counts,
+    * rounded 6 dp — mirrored token-for-token in the oracle.
+    */
+  val textSubwordFertility: Q = Q(
+    "text_subword_fertility",
+    s"""WITH wl AS (
+       |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+       |  FROM documents),
+       |wl2 AS (SELECT * FROM wl WHERE w <> ''),
+       |wv AS (SELECT DISTINCT w FROM wl2),
+       |tk AS (
+       |  SELECT w, CAST(len(${bpeTokensDuck("w")}) AS BIGINT) AS n_tok
+       |  FROM wv)
+       |SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |       CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(tk.n_tok) AS BIGINT) AS n_subwords,
+       |       round(CAST(sum(tk.n_tok) AS DOUBLE) / count(*), 6) AS fertility
+       |FROM wl2 JOIN tk ON wl2.w = tk.w
+       |GROUP BY 1
+       |ORDER BY lang NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    T.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(wordBpeCounts(s, d)), "w")
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(col("n_tok")).as("n_subwords"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_subwords"),
+        round(col("n_subwords").cast("double") / col("n_words"), 6).as("fertility"))
+      .orderBy(col("lang").asc_nulls_first)
+  }
+
+  def all: Seq[Q] = Seq(textBpeTokens, textBpeFull, packSequencesBpe, textSubwordFertility)
 }

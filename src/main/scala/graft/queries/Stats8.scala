@@ -116,5 +116,115 @@ object Stats8 {
       .orderBy(col("k"))
   }
 
-  val all: Seq[Q] = Seq(statsBhFdr)
+  /** Two-sample randomization (permutation) test (Fisher 1935; Good
+    * 2000): is the AUTOMOBILE segment's mean order value different from
+    * BUILDING's, with the null distribution built by RELABELING rather
+    * than a normality assumption — the distribution-free complement to
+    * stats_welch_t. Replicate b ∈ 1..64 reassigns every order to a
+    * pseudo-group by the parity of md5('perm:b:o_orderkey') — the
+    * stats_bootstrap determinism idiom (no seeded RNG: reproducible
+    * across engines, runs, partitionings); replicate 0 is the REAL
+    * labeling, so observed and null statistics come out of ONE
+    * aggregation pass. p = (1 + #{b ≥ 1 : |diff_b| ≥ |diff_obs|}) /
+    * (R + 1), the add-one estimator of Phipson & Smyth 2010 (never
+    * exactly zero, unbiased under the null).
+    *
+    * Exactness: per-(replicate, pseudo-group) sums are exact BIGINT
+    * cents (< 2⁶³ by corpus size, < 2⁵³ as doubles through sf10);
+    * diff_b = CAST(sa)/na − CAST(sb)/nb is one token-mirrored float
+    * formula, so the ≥ decision compares bit-identical doubles; the
+    * p-value is an exact rational (1+k)/65. Null rows propagate
+    * identically (null o_orderkey → null parity → row in neither
+    * pseudo-group; null cents skipped by sum in both engines).
+    *
+    * Scale: ONE explode ×65 over the two segments' orders (linear,
+    * constant R — R is the precision knob and the cost knob), map-side
+    * partial aggregation into 65 groups; the observed statistic is
+    * attached to the replicates with a window over the 65-ROW replicate
+    * aggregate (allowlisted + measured-bound, the stats_bh_fdr idiom),
+    * NOT a self-join — the naive obs-cross formulation re-ran the whole
+    * explode pipeline twice.
+    */
+  val statsPermutationTest: Q = Q(
+    "stats_permutation_test",
+    """WITH o AS (
+      |  SELECT o_orderkey,
+      |         c_mktsegment = 'AUTOMOBILE' AS is_a,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM customer JOIN orders ON c_custkey = o_custkey
+      |  WHERE c_mktsegment IN ('AUTOMOBILE','BUILDING')),
+      |lab AS (
+      |  SELECT b.range AS b, cents,
+      |         CASE WHEN b.range = 0 THEN is_a
+      |              ELSE CAST(('0x' || substring(md5('perm:' || CAST(b.range AS VARCHAR)
+      |                     || ':' || CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+      |         END AS pa
+      |  FROM o CROSS JOIN range(0, 65) b),
+      |g AS (
+      |  SELECT b,
+      |         CAST(sum(cents) FILTER (WHERE pa) AS BIGINT) AS sa,
+      |         CAST(count(*) FILTER (WHERE pa) AS BIGINT) AS na,
+      |         CAST(sum(cents) FILTER (WHERE NOT pa) AS BIGINT) AS sb,
+      |         CAST(count(*) FILTER (WHERE NOT pa) AS BIGINT) AS nb
+      |  FROM lab GROUP BY 1),
+      |d AS (
+      |  SELECT b, na, nb,
+      |         CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb AS diff
+      |  FROM g),
+      |x AS (
+      |  SELECT b, diff,
+      |         max(CASE WHEN b = 0 THEN diff END) OVER () AS diff0,
+      |         max(CASE WHEN b = 0 THEN na END) OVER () AS n_a,
+      |         max(CASE WHEN b = 0 THEN nb END) OVER () AS n_b
+      |  FROM d)
+      |SELECT n_a, n_b,
+      |       round(diff0 / 100.0, 6) AS diff_obs,
+      |       CAST(count(*) AS BIGINT) AS r_used,
+      |       round((1.0 + CAST(sum(CASE WHEN abs(diff) >= abs(diff0)
+      |                                  THEN 1 ELSE 0 END) AS DOUBLE))
+      |             / (count(*) + 1.0), 6) AS p_value
+      |FROM x WHERE b > 0
+      |GROUP BY n_a, n_b, diff0""".stripMargin
+  ) { (s, d) =>
+    val o = T.customer(s, d)
+      .filter(col("c_mktsegment").isin("AUTOMOBILE", "BUILDING"))
+      .select(col("c_custkey"), (col("c_mktsegment") === "AUTOMOBILE").as("is_a"))
+      .join(T.orders(s, d).select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("o_orderkey"), col("is_a"),
+        (T.dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val lab = o
+      .select(col("o_orderkey"), col("is_a"), col("cents"),
+        explode(expr("sequence(0L, 64L)")).as("b"))
+      .select(col("b"), col("cents"),
+        when(col("b") === 0, col("is_a")).otherwise(
+          expr("""CAST(conv(substring(md5(concat('perm:', CAST(b AS STRING), ':',
+                 CAST(o_orderkey AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2 = 0"""))
+          .as("pa"))
+    val g = lab.groupBy(col("b")).agg(
+      sum(when(col("pa"), col("cents"))).cast("long").as("sa"),
+      count(when(col("pa"), lit(1))).as("na"),
+      sum(when(!col("pa"), col("cents"))).cast("long").as("sb"),
+      count(when(!col("pa"), lit(1))).as("nb"))
+    val dd = g.select(col("b"), col("na"), col("nb"),
+      (col("sa").cast("double") / col("na") - col("sb").cast("double") / col("nb")).as("diff"))
+    // observed row attached via a window over the 65-ROW replicate
+    // aggregate — allowlisted with a measured bound in PlanQualitySpec
+    val wAll = Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val x = dd.select(col("b"), col("diff"),
+      max(when(col("b") === 0, col("diff"))).over(wAll).as("diff0"),
+      max(when(col("b") === 0, col("na"))).over(wAll).as("n_a"),
+      max(when(col("b") === 0, col("nb"))).over(wAll).as("n_b"))
+    x.filter(col("b") > 0)
+      .groupBy(col("n_a"), col("n_b"), col("diff0"))
+      .agg(count(lit(1)).as("r_used"),
+        sum(when(abs(col("diff")) >= abs(col("diff0")), lit(1)).otherwise(lit(0))).as("hits"))
+      .select(col("n_a"), col("n_b"),
+        round(col("diff0") / 100.0, 6).as("diff_obs"),
+        col("r_used"),
+        round((lit(1.0) + col("hits").cast("double")) / (col("r_used") + lit(1.0)), 6)
+          .as("p_value"))
+  }
+
+  val all: Seq[Q] = Seq(statsBhFdr, statsPermutationTest)
 }

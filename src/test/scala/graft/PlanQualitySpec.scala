@@ -116,6 +116,7 @@ class PlanQualitySpec extends SparkSpec {
     "stats_bootstrap"     -> 2, // binned-cumulative prefix over the value-DOMAIN bin table (≤ val_range/1e6 rows)
     "stats_ks"            -> 1, // binned-cumulative prefix over the cents-domain bin table
     "stats_mann_whitney"  -> 1, // binned-cumulative prefix over the cents-domain bin table
+    "stats_permutation_test" -> 1, // observed-row attach over the 65-ROW replicate aggregate (constant R)
     "stats_runs_test"     -> 2, // lag over the CALENDAR-BOUNDED daily aggregate (≤ |days|)
     "stats_spearman"      -> 2, // binned-cumulative prefix over the two cents-domain bin tables (qv ≤ 1, pv ≤ ~11 bins)
     "stats_wilcoxon"      -> 1, // rank prefix over distinct |daily diff| values (≤ |days|)
@@ -148,6 +149,7 @@ class PlanQualitySpec extends SparkSpec {
     "stats_bootstrap"     -> 400L,   // value-domain bins (val_range/1e6)
     "stats_ks"            -> 200L,   // cents-domain bins
     "stats_mann_whitney"  -> 200L,   // cents-domain bins
+    "stats_permutation_test" -> 65L, // the replicate table: R+1 rows — exact
     "stats_runs_test"     -> 60L,    // calendar days of the fixture month
     "stats_spearman"      -> 50L,    // two cents-domain bin tables
     "stats_wilcoxon"      -> 60L,    // distinct |daily diff| values ≤ |days|
