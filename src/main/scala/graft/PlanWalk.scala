@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, ExprId, NamedExpression}
-import org.apache.spark.sql.execution.{FileSourceScanExec, GlobalLimitExec, ProjectExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.{ExpandExec, FileSourceScanExec, GenerateExec, GlobalLimitExec, ProjectExec, SparkPlan, TakeOrderedAndProjectExec, UnionExec}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
 import org.apache.spark.sql.execution.window.WindowExec
@@ -61,17 +61,23 @@ object PlanWalk {
     * doc_id, vec_id) can't concentrate — every key has exactly one row.
     */
   def deriveSkewableIds(spark: SparkSession, sfDir: String): Set[String] = {
-    import org.apache.spark.sql.functions.{count_distinct, col, count, lit}
+    import org.apache.spark.sql.functions.{count_distinct, col, count}
     val keyName = "(?i)(_id|key)$".r
     factTables.flatMap { t =>
       val df = spark.read.parquet(s"$sfDir/$t.parquet")
       val keyCols = df.columns.filter(c => keyName.findFirstIn(c).isDefined)
       if (keyCols.isEmpty) Nil
       else {
-        val aggs = count(lit(1)).as("_n") +: keyCols.map(c => count_distinct(col(c)).as(c))
+        // non-uniqueness = distinct < NON-NULL count, column by column:
+        // count_distinct ignores NULLs, so comparing against count(*)
+        // would misclassify a unique-but-nullable key (e.g. a
+        // nulled-corpus dir) as skewable (ADVICE r13)
+        val aggs = keyCols.flatMap(c =>
+          Seq(count_distinct(col(c)).as(s"d_$c"), count(col(c)).as(s"n_$c")))
         val r = df.agg(aggs.head, aggs.tail: _*).head()
-        val n = r.getLong(0)
-        keyCols.zipWithIndex.collect { case (c, i) if r.getLong(i + 1) < n => c }
+        keyCols.zipWithIndex.collect {
+          case (c, i) if r.getLong(2 * i) < r.getLong(2 * i + 1) => c
+        }
       }
     }
   }
@@ -140,6 +146,44 @@ object PlanWalk {
       case agg: BaseAggregateExec =>
         val below = originNames(agg.child)
         below ++ resolveNamed(agg.groupingExpressions, below) ++ resolveNamed(agg.resultExpressions, below)
+      // r14 lineage extensions (VERDICT r13 item 2): Generate, Expand,
+      // Union and Window mint or merge ExprIds that the generic
+      // children-merge below can't see through — an explode-derived
+      // alias of user_id, or a key renamed inside a non-first union
+      // branch, fell back to surface names and evaded the skew gate.
+      case g: GenerateExec =>
+        // generator output attrs (the exploded values) derive from the
+        // generator's input references; pass the child map through
+        val below = originNames(g.child)
+        val genRefs = g.generator.references.toSeq
+          .flatMap(r => below.getOrElse(r.exprId, Set(r.name))).toSet
+        below ++ g.generatorOutput.map(a => a.exprId -> genRefs).toMap
+      case e: ExpandExec =>
+        // output attr i is produced by position i of EVERY projection
+        // row (grouping-set arms) — union the origins across arms
+        val below = originNames(e.child)
+        below ++ e.output.zipWithIndex.map { case (a, i) =>
+          a.exprId -> e.projections.flatMap(row =>
+            row(i).references.toSeq.flatMap(r => below.getOrElse(r.exprId, Set(r.name)))).toSet
+        }.toMap
+      case u: UnionExec =>
+        // Union output reuses (only) the FIRST child's ExprIds; origin
+        // of output position i is the union of every branch's position-i
+        // origins, so a skewable key renamed in a non-first branch still
+        // resolves (ADVICE r13)
+        val belows = u.children.map(c => (c, originNames(c)))
+        val merged = belows.foldLeft(Map.empty[ExprId, Set[String]])(_ ++ _._2)
+        merged ++ u.output.zipWithIndex.map { case (a, i) =>
+          a.exprId -> belows.flatMap { case (c, below) =>
+            val ca = c.output(i)
+            below.getOrElse(ca.exprId, Set(ca.name))
+          }.toSet
+        }.toMap
+      case w: WindowExec =>
+        // output = child.output ++ windowExpression (Alias nodes over
+        // window functions, whose references include the partition keys)
+        val below = originNames(w.child)
+        below ++ resolveNamed(w.windowExpression, below)
       case other =>
         other.children.map(originNames).foldLeft(Map.empty[ExprId, Set[String]])(_ ++ _)
     }

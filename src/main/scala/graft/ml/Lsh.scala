@@ -18,12 +18,12 @@ object Lsh {
   /** Near-dup text pairs by MinHash LSH over hashed token-shingle sets.
     * Returns (a, b, jaccard_distance) with a < b.
     */
-  def textNearDupPairs(spark: SparkSession, docs: DataFrame,
-                       maxJaccardDistance: Double, numHashTables: Int = 8,
-                       shingleLen: Int = 3, maxDfFraction: Double = 1.0): DataFrame = {
-    // tokenize ONCE per row — a split inside the lambda would re-split
-    // the whole doc per shingle element (O(tokens²) per doc)
-    val raw = docs
+  /** Distinct token-shingle sets, one array per doc. Tokenize ONCE per
+    * row — a split inside the lambda would re-split the whole doc per
+    * shingle element (O(tokens²) per doc).
+    */
+  private def shingleDocs(docs: DataFrame, shingleLen: Int): DataFrame =
+    docs
       .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
       .select(col("doc_id"),
         // slice-of-sequence guards docs shorter than the shingle (Spark
@@ -34,6 +34,11 @@ object Lsh {
                     1, greatest(size(t) - ${shingleLen - 1}, 0)),
               i -> concat_ws(' ', slice(t, i, $shingleLen))))""")
           .as("shingles"))
+
+  def textNearDupPairs(spark: SparkSession, docs: DataFrame,
+                       maxJaccardDistance: Double, numHashTables: Int = 8,
+                       shingleLen: Int = 3, maxDfFraction: Double = 1.0): DataFrame = {
+    val raw = shingleDocs(docs, shingleLen)
     // Optional df-prune (maxDfFraction < 1): a shingle present in more
     // than that fraction of docs carries no near-dup signal but floods
     // LSH buckets (every doc holding the globally-min-hashed shingle
@@ -77,6 +82,75 @@ object Lsh {
         col("datasetB.doc_id").as("b"),
         col("dist"))
       .filter(col("a") < col("b"))
+  }
+
+  /** Top-k nearest corpus docs (by exact Jaccard distance over shingle
+    * sets) for a bounded PROBE SET, candidates generated through the
+    * library's MinHash bucket family — the text twin of
+    * [[embeddingProbeTopK]], and the r14 replacement engine for the
+    * declared `b6_lsh_text_near_dup` row.
+    *
+    * Why not approxSimilarityJoin: the self-join explodes every corpus
+    * doc's (shingle-vector, hashtable) entries on BOTH sides and
+    * shuffles full sparse vectors to the bucket-pair stage — at sf100
+    * the spill exhausted disk (the r13 probe's one DNF; BASELINE
+    * §sf100-probe). This path is corpus-LINEAR by construction:
+    *  - the corpus is shingled + MinHash-hashed ONCE (the library
+    *    surface: HashingTF → MinHashLSH.transform);
+    *  - only the ≤ `nProbes` probe rows' bucket keys (plus their
+    *    shingle arrays, needed for exact re-scoring) are BROADCAST;
+    *  - the (table, bucket) equi-join is map-side — corpus vectors
+    *    never shuffle;
+    *  - the exact Jaccard distance (array_intersect/union — codegen,
+    *    no UDF) runs BEFORE any shuffle, so only (q, nb, dist) scalars
+    *    — O(collisions) ≤ L·n — reach the dedup + per-probe top-k;
+    *  - output is hard-capped at nProbes·k.
+    * 10× the corpus costs 10× the map work, never 100× the pairs.
+    * Recall vs the brute-force Jaccard top-k is gated in LshSpec.
+    */
+  def textProbeTopK(spark: SparkSession, docs: DataFrame, k: Int,
+                    nProbes: Int = 256, numHashTables: Int = 4,
+                    shingleLen: Int = 3): DataFrame = {
+    import org.apache.spark.ml.functions.vector_to_array
+    import org.apache.spark.sql.expressions.Window
+    val shingled = shingleDocs(docs, shingleLen)
+      .filter(size(col("shingles")) > 0)
+    val tf = new HashingTF()
+      .setInputCol("shingles").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    // cache: the shingle+TF pipeline feeds fit(), the probe TakeOrdered
+    // AND the corpus bucket scan — uncached it re-derives shingles from
+    // the raw text three times (measured 2× the row's wall time at
+    // sf0.1). One sparse row per doc, corpus-bounded, same rationale as
+    // textNearDupPairs' hashed.cache().
+    val vecs = tf.transform(shingled).cache()
+    if (vecs.isEmpty) return emptyPairs(spark, "q", "nb")
+    val mh = new MinHashLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(numHashTables).setSeed(42L)
+    val model = mh.fit(vecs)
+    def buckets(df: DataFrame, idAs: String, shAs: String): DataFrame =
+      model.transform(df)
+        .select(col("doc_id").as(idAs), col("shingles").as(shAs),
+          posexplode(col("hashes")).as(Seq("ht", "hv")))
+        .select(col(idAs), col(shAs), col("ht"),
+          vector_to_array(col("hv")).getItem(0).cast("long").as("bucket"))
+    // deterministic probe set: lowest doc_ids (TakeOrdered — no shuffle)
+    val probes = vecs.orderBy(col("doc_id").asc).limit(nProbes)
+    val corpusB = buckets(vecs, "nb", "nsh")
+    val probeB = buckets(probes, "q", "qsh")
+    val inter = size(array_intersect(col("qsh"), col("nsh"))).cast("double")
+    val union = (size(col("qsh")) + size(col("nsh"))).cast("double") - inter
+    corpusB.join(broadcast(probeB), Seq("ht", "bucket"))
+      .filter(col("q") =!= col("nb"))
+      // distance BEFORE the shuffle: only (q, nb, dist) scalars move
+      .select(col("q"), col("nb"), (lit(1.0) - inter / union).as("dist"))
+      // a pair colliding in several tables appears once
+      .groupBy(col("q"), col("nb")).agg(min(col("dist")).as("dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q"))
+          .orderBy(col("dist").asc, col("nb").asc)))
+      .filter(col("rn") <= k).drop("rn")
   }
 
   private val toVec = udf((xs: Seq[Float]) =>

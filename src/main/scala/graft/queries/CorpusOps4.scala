@@ -24,24 +24,33 @@ object CorpusOps4 {
     * Wenzek et al. 2020) that ranks a corpus by LM fit.
     *
     * Score of a bigram (w1 w2): S = c2(w1w2)/c1(w1) when the bigram is
-    * in-model, else 0.4 · (c1(w2)+1)/(N1+V) — the flat 0.4 backoff to
-    * an add-1-smoothed unigram (unseen w2 degrades to 0.4/(N1+V), never
+    * in-model — which since r14 requires the training count c2 ≥ 2
+    * (the CCNet-style count floor; VERDICT r13 item 4: singleton
+    * training bigrams are Heaps-law type growth, measured exp 1.07 at
+    * sf100, and carry no usable probability mass) — else
+    * 0.4 · (c1(w2)+1)/(N1+V), the flat 0.4 backoff to an
+    * add-1-smoothed unigram (unseen w2 degrades to 0.4/(N1+V), never
     * log 0). Exactness discipline (the sample_dsir contract): ln(S) is
-    * quantized ONCE to integer micro-units per distinct corpus bigram
-    * TYPE, per-doc scores are exact integer sums of k·lw_q, the mean is
-    * the sign-symmetric exact integer division (both engines truncate
-    * `div`//`//` toward zero), and the top-25 order is the integer
-    * total order (mean_q, sum, doc_id). ln must agree across engines
-    * only to the 0.5e-6 quantization boundary.
+    * quantized to integer micro-units (the same quantized value for
+    * every occurrence of a bigram type — ln's inputs are type-level
+    * counts), per-doc scores are exact integer sums of k·lw_q, the
+    * mean is the sign-symmetric exact integer division (both engines
+    * truncate `div`//`//` toward zero), and the top-25 order is the
+    * integer total order (mean_q, sum, doc_id). ln must agree across
+    * engines only to the 0.5e-6 quantization boundary.
     *
     * Scale shape: two explodes (doc bigrams; en tokens), all model
-    * tables are TYPE-level aggregates (vocab/bigram-type-proportional,
-    * sublinear in the corpus by Heaps' law) joined back by equi-join —
-    * model side ≤1 row per key, so the joins stay linear under any
+    * tables are TYPE-level aggregates joined back by equi-join — model
+    * side ≤1 row per key, so the joins stay linear under any
     * linguistic skew ("the the" is a hot key with ONE model row); the
     * per-doc sum partial-aggregates map-side; the 1-row (N1, V) totals
     * broadcast-cross; the top-25 is TakeOrdered. No self-joins, no
-    * corpus-proportional broadcast, no unpartitioned windows.
+    * corpus-proportional broadcast, no unpartitioned windows. The r14
+    * restructure also removed the per-corpus-bigram-TYPE model
+    * materialization (the old `pt` table — ALL-language corpus types,
+    * the unbounded one): the model is now the floored EN-bigram-type
+    * table only, and out-of-model rows score through the w2-unigram
+    * join directly.
     */
   val textPerplexitySb: Q = Q(
     "text_perplexity_sb",
@@ -56,9 +65,6 @@ object CorpusOps4 {
       |bd AS (
       |  SELECT doc_id, lang, bg, CAST(count(*) AS BIGINT) AS k
       |  FROM grams GROUP BY 1, 2, 3),
-      |pt AS (
-      |  SELECT bg, split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2
-      |  FROM (SELECT DISTINCT bg FROM bd)),
       |entok AS (
       |  SELECT unnest(t) AS w FROM tok WHERE lang = 'en'),
       |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM entok GROUP BY 1),
@@ -70,20 +76,22 @@ object CorpusOps4 {
       |           i -> t[i] || ' ' || t[i+1])) AS bg
       |    FROM tok WHERE lang = 'en') GROUP BY 1),
       |model AS (
-      |  SELECT pt.bg,
-      |         CAST(round(CASE WHEN c2.c IS NOT NULL AND u1.c IS NOT NULL
-      |              THEN ln(CAST(c2.c AS DOUBLE) / u1.c)
-      |              ELSE ln(0.4 * (coalesce(u2.c, 0) + 1)
-      |                      / greatest(tot.n1 + tot.v, 1)) END * 1e6) AS BIGINT) AS lw_q
-      |  FROM pt LEFT JOIN c2 ON pt.bg = c2.bg
-      |          LEFT JOIN c1 u1 ON pt.w1 = u1.w
-      |          LEFT JOIN c1 u2 ON pt.w2 = u2.w
-      |          CROSS JOIN tot),
+      |  SELECT c2.bg,
+      |         CAST(round(ln(CAST(c2.c AS DOUBLE) / u1.c) * 1e6) AS BIGINT) AS lw_q
+      |  FROM c2 JOIN c1 u1 ON split_part(c2.bg, ' ', 1) = u1.w
+      |  WHERE c2.c >= 2),
       |scored AS (
       |  SELECT bd.doc_id, min(bd.lang) AS lang,
       |         CAST(sum(bd.k) AS BIGINT) AS n_bigrams,
-      |         CAST(sum(bd.k * m.lw_q) AS BIGINT) AS sum_lp_micros
-      |  FROM bd JOIN model m ON bd.bg = m.bg GROUP BY 1),
+      |         CAST(sum(bd.k * coalesce(m.lw_q,
+      |           CAST(round(ln(0.4 * (coalesce(u2.c, 0) + 1)
+      |                / greatest(tot.n1 + tot.v, 1)) * 1e6) AS BIGINT))) AS BIGINT)
+      |           AS sum_lp_micros
+      |  FROM bd
+      |  LEFT JOIN model m ON bd.bg = m.bg
+      |  LEFT JOIN c1 u2 ON split_part(bd.bg, ' ', 2) = u2.w
+      |  CROSS JOIN tot
+      |  GROUP BY 1),
       |ranked AS (
       |  SELECT doc_id, lang, n_bigrams, sum_lp_micros,
       |         ((2 * sum_lp_micros
@@ -103,10 +111,6 @@ object CorpusOps4 {
       explode(expr(bigramsOfT)).as("bg"))
     val bd = grams.groupBy(col("doc_id"), col("lang"), col("bg"))
       .agg(count(lit(1)).as("k"))
-    val pt = bd.select(col("bg")).distinct()
-      .select(col("bg"),
-        expr("element_at(split(bg, ' '), 1)").as("w1"),
-        expr("element_at(split(bg, ' '), 2)").as("w2"))
     val enTok = tok.filter(col("lang") === "en")
     val entok = enTok.select(explode(col("t")).as("w"))
     val c1 = entok.groupBy(col("w")).agg(count(lit(1)).as("c"))
@@ -114,21 +118,33 @@ object CorpusOps4 {
       countDistinct(col("w")).cast("long").as("v"))
     val c2 = enTok.select(explode(expr(bigramsOfT)).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
-    val model = pt.join(c2, Seq("bg"), "left")
-      .join(c1.select(col("w").as("w1"), col("c").as("u1")), Seq("w1"), "left")
+    // df ≥ 2 count floor (r14, VERDICT r13 item 4 — the CCNet pruning
+    // step): singleton training bigrams, the bulk of Heaps-law type
+    // growth (sf100 probe: exp 1.07 without the floor), are dropped
+    // from the model and score through the backoff path instead. The
+    // model table is now the FLOORED en-bigram-TYPE table — scoring
+    // joins it per bd row (left), so the per-corpus-bigram-TYPE
+    // materialization the old shape carried is gone entirely.
+    val model = c2.filter(col("c2") >= 2)
+      .select(col("bg"), col("c2"),
+        expr("element_at(split(bg, ' '), 1)").as("w1"))
+      .join(c1.select(col("w").as("w1"), col("c").as("u1")), Seq("w1"))
+      .select(col("bg"),
+        round(log(col("c2").cast("double") / col("u1")) * 1e6)
+          .cast("long").as("lw_q"))
+    val backoffQ = round(log(lit(0.4) * (coalesce(col("u2"), lit(0L)) + 1)
+        / greatest(col("n1") + col("v"), lit(1L))) * 1e6).cast("long")
+    val scored = bd
+      .join(model, Seq("bg"), "left")
+      .withColumn("w2", expr("element_at(split(bg, ' '), 2)"))
       .join(c1.select(col("w").as("w2"), col("c").as("u2")), Seq("w2"), "left")
       .crossJoin(broadcast(tot))
-      .select(col("bg"),
-        round(when(col("c2").isNotNull && col("u1").isNotNull,
-            log(col("c2").cast("double") / col("u1")))
-          .otherwise(log(lit(0.4) * (coalesce(col("u2"), lit(0L)) + 1)
-            / greatest(col("n1") + col("v"), lit(1L)))) * 1e6)
-          .cast("long").as("lw_q"))
-    val scored = bd.join(model, "bg")
+      .select(col("doc_id"), col("lang"), col("k"),
+        coalesce(col("lw_q"), backoffQ).as("lwq"))
       .groupBy(col("doc_id"))
       .agg(min(col("lang")).as("lang"),
         sum(col("k")).cast("long").as("n_bigrams"),
-        sum(col("k") * col("lw_q")).cast("long").as("sum_lp_micros"))
+        sum(col("k") * col("lwq")).cast("long").as("sum_lp_micros"))
     val ranked = scored.withColumn("mean_q", expr(
       """((2 * sum_lp_micros
           + (CASE WHEN sum_lp_micros < 0 THEN -n_bigrams ELSE n_bigrams END))

@@ -89,13 +89,26 @@ object NoOracle {
     * top-25 nearest candidate PAIRS in a total deterministic order
     * (dist asc, then the unique pair key) — structural evidence for the
     * rows-only check, not a single count row.
+    *
+    * r14 engine swap (VERDICT r13 item 1): probe-set top-k semantics,
+    * exactly the r6 adjudication applied to the embedding twin below.
+    * The former fixed-radius approxSimilarityJoin self-join was the one
+    * declared row ever to DNF a scale probe (sf100 ENOSPC: the
+    * shingle×hashtable explode shuffles full sparse vectors on both
+    * sides of the bucket join). textProbeTopK broadcasts a
+    * deterministic 256-probe batch against the MinHash-bucketed corpus
+    * — corpus-linear by construction, output hard-capped at probes·k,
+    * exact Jaccard re-scoring before any shuffle. Still the spark.ml
+    * MinHashLSH hash family underneath; the all-pairs library path
+    * stays available as Lsh.textNearDupPairs and keeps its recall gate
+    * in LshSpec.
     */
   val lshTextNearDup: Q = Q.noOracle("b6_lsh_text_near_dup") { (s, d) =>
-    graft.ml.Lsh.textNearDupPairs(s, T.documents(s, d),
-        maxJaccardDistance = 0.4, numHashTables = 2)
-      .select(col("a"), col("b"), round(col("dist"), 6).as("jaccard_dist"))
+    graft.ml.Lsh.textProbeTopK(s, T.documents(s, d),
+        k = 10, nProbes = 256, numHashTables = 4)
+      .select(col("q"), col("nb"), round(col("dist"), 6).as("jaccard_dist"))
       .orderBy(col("jaccard_dist").asc_nulls_first,
-        col("a").asc_nulls_first, col("b").asc_nulls_first)
+        col("q").asc_nulls_first, col("nb").asc_nulls_first)
       .limit(25)
   }
 

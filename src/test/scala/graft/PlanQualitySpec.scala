@@ -168,16 +168,29 @@ class PlanQualitySpec extends SparkSpec {
     spark.conf.set("spark.sql.adaptive.enabled", "false") // keep WindowExec visible in executedPlan
     try {
       val sf1 = "/tmp/graft_sf1"
-      val dirs = Seq(sf("sf0.01")) ++
-        (if (new java.io.File(s"$sf1/events.parquet").exists) Seq(sf1) else Nil)
+      val sf1Present = new java.io.File(s"$sf1/events.parquet").exists
+      val dirs = Seq(sf("sf0.01")) ++ (if (sf1Present) Seq(sf1) else Nil)
+      // LOUD scale report (VERDICT r13 item 3): a fresh box without the
+      // synthesized sf1 corpus must say so, not silently halve the gate
+      info(s"asserting window bounds at: ${dirs.mkString(", ")}")
+      if (!sf1Present)
+        info(s"sf1 ABSENT — $sf1 not found; synthesize with " +
+          "`tools/run.sh graft.ScaleUp /root/testdata/sf0.1 /tmp/graft_sf1 10` " +
+          "to restore the two-scale assertion")
       val offenders = for {
         dir <- dirs
         (name, bound) <- windowInputBounds.toSeq
-        rows = try PlanWalk.unpartitionedWindowInputRows(
-            SparkEntry.queries(name)(spark, dir))
-          catch { case e: Throwable => Seq(-1L) } // execution failure = offender
-        r <- rows if r > bound || r < 0
-      } yield s"$name@$dir: window input $r rows > bound $bound"
+        // execution failure = offender, WITH the cause (ADVICE r13: the
+        // old -1 sentinel discarded the exception)
+        rowsOrErr = try Right(PlanWalk.unpartitionedWindowInputRows(
+            SparkEntry.queries(name)(spark, dir)))
+          catch { case e: Throwable => Left(s"EXEC-FAILED ${e.getMessage}") }
+        msg <- rowsOrErr match {
+          case Left(err) => Seq(s"$name@$dir: $err")
+          case Right(rows) =>
+            rows.filter(_ > bound).map(r => s"$name@$dir: window input $r rows > bound $bound")
+        }
+      } yield msg
       assert(offenders.isEmpty,
         s"unpartitioned-window input exceeded its claimed bound:\n  ${offenders.mkString("\n  ")}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
@@ -324,7 +337,46 @@ class PlanQualitySpec extends SparkSpec {
         "pinned-only set must MISS l_orderkey (documents why derivation exists)")
       assert(PlanWalk.skewRiskJoins(selfPairs.queryExecution.sparkPlan, effectiveSkewIds).nonEmpty,
         "derived set must flag the l_orderkey self-join")
+      // (e) VERDICT r13 item 2 red fixture: the key is EXPLODE-derived —
+      // GenerateExec mints a fresh ExprId for the generator output, so
+      // the r13 walk (Project/Aggregate lineage only) fell back to the
+      // surface name "eu" and missed user_id underneath
+      val exploded = ev.select(explode(array(col("user_id"))).as("eu"), col("ts"))
+        .join(ev.select(col("user_id").as("eu"), col("ts").as("ts2")), "eu")
+      assert(PlanWalk.skewRiskJoins(exploded.queryExecution.sparkPlan).nonEmpty,
+        "explode-derived skewable key must be flagged")
+      // (f) VERDICT r13 item 2 red fixture: the skewable key is renamed
+      // inside a NON-FIRST union branch — UnionExec reuses only the
+      // first child's ExprIds, so the r13 walk resolved the merged key
+      // to event_id (unique, not skewable) and missed the user_id branch
+      val merged = ev.select(col("event_id").as("uid"), col("ts"))
+        .union(ev.select(col("user_id").as("uid"), col("ts")))
+        .join(ev.select(col("user_id").as("uid"), col("ts").as("ts2")), "uid")
+      assert(PlanWalk.skewRiskJoins(merged.queryExecution.sparkPlan).nonEmpty,
+        "skewable key renamed in a non-first union branch must be flagged")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("derived skewable ids ignore NULLs: a unique-but-nullable key is NOT skewable") {
+    // ADVICE r13: count_distinct ignores NULLs, so comparing against
+    // count(*) misclassified a unique key with any NULLs as skewable.
+    // Build a fixture dir whose events table has a NULLED-but-unique
+    // event_id and a genuinely duplicated user_id: only user_id (and
+    // the other true FKs) may derive.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nullkey_").toString
+    val src = spark.read.parquet(s"${sf()}/events.parquet")
+    src.withColumn("event_id",
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(col("event_id")))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Seq("orders", "lineitem", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"${sf()}/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    val derived = PlanWalk.deriveSkewableIds(spark, dir)
+    assert(!derived.contains("event_id"),
+      s"nullable-but-unique event_id misclassified as skewable: $derived")
+    assert(derived.contains("user_id"), s"true FK user_id must still derive: $derived")
   }
 
   test("parquet scans never read the full lineitem schema needlessly") {

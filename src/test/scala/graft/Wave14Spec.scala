@@ -27,7 +27,9 @@ class Wave14Spec extends SparkSpec {
       .groupBy(identity).map { case (bg, g) => bg -> g.length.toLong }
     def lwQ(w1: String, w2: String): Long = {
       val s = c2.get((w1, w2)) match {
-        case Some(c) if c1.contains(w1) => math.log(c.toDouble / c1(w1))
+        // r14: the c >= 2 count floor (CCNet pruning) — singleton
+        // training bigrams score through the backoff path
+        case Some(c) if c >= 2 && c1.contains(w1) => math.log(c.toDouble / c1(w1))
         case _ => math.log(0.4 * (c1.getOrElse(w2, 0L) + 1) / math.max(n1 + v, 1L).toDouble)
       }
       // HALF_UP (away from zero), matching Spark's round() — math.round
@@ -62,6 +64,13 @@ class Wave14Spec extends SparkSpec {
     val nonEnPairs = docs.filter(_._2 != "en")
       .flatMap(d => d._3.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))))
     assert(nonEnPairs.exists(p => !c2.contains(p)), "no out-of-model bigram at this sf")
+    // the r14 count floor is LIVE: some scored bigram has training
+    // count exactly 1, so it is pruned from the model and takes the
+    // backoff path despite being a seen en bigram
+    val allPairs = docs
+      .flatMap(d => d._3.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))))
+    assert(allPairs.exists(p => c2.get(p).contains(1L)),
+      "no singleton training bigram at this sf — the floor is untested")
   }
 
   test("stats_bh_fdr matches a driver-side Welch+BH recompute (step-up included)") {
