@@ -23,6 +23,7 @@ object TimeQ {
     // SPARK_GRAFT_PASSES=1 for third-decade probes where a median-of-3
     // would cost hours (r13 sf100 sweep); default stays median-of-3
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    require(passes >= 1, s"SPARK_GRAFT_PASSES must be >= 1, got $passes")
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       val times = (1 to passes).map { _ =>
@@ -33,7 +34,12 @@ object TimeQ {
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      println(f"$n%-28s median=${times(times.size / 2)}%6.2f s  (${times.mkString(", ")})")
+      // true median: average the two middle values for even pass counts
+      // (ADVICE r13 — times(n/2) was the upper-middle element)
+      val med =
+        if (times.size % 2 == 1) times(times.size / 2)
+        else (times(times.size / 2 - 1) + times(times.size / 2)) / 2.0
+      println(f"$n%-28s median=$med%6.2f s  (${times.mkString(", ")})")
     }
     spark.stop()
   }

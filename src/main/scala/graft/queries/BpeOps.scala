@@ -129,11 +129,65 @@ object BpeOps {
       .distinct()
       .select(col("w"), size(bpeTokensExpr("w")).cast("long").as("n_tok"))
 
+  /** Test-only accessor for the per-doc word explode (BpeFallbackSpec
+    * needs the exact corpus side the declared rows join).
+    */
+  def docWordsForTest(s: SparkSession, d: String): DataFrame = docWords(s, d)
+
   /** Per-doc words (duplicates kept) for the count join. */
   private def docWords(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
       .filter(col("w") =!= "")
+
+  /** Vocab-broadcast posture (VERDICT r13 item 5) — when does the
+    * `broadcast(wordBpeCounts)` map in the four declared rows stop
+    * fitting, and what replaces it?
+    *
+    * Measured distinct-word vocabulary on this corpus family
+    * (2026-08-16): sf0.1 = 31, sf1 = 310, sf10 = 589, vs a hard
+    * algebraic CAP of 26 × 31 = 806: ScaleUp's per-copy content
+    * transform is an alphabet ROTATION (mod 26), so the vocab of ANY
+    * scale-up is contained in the 26-rotation closure of the base
+    * vocab — growth saturates (310 → 589 is the rotation-composition
+    * overlap already visible) and the broadcast stays < 64 KiB at
+    * every reachable SF. On this corpus family the cutover is
+    * UNREACHABLE, which is why the declared rows keep the plain
+    * broadcast join.
+    *
+    * On a REAL corpus Heaps' law grows the vocab without bound
+    * (V ≈ k·N^β, β ≈ 0.5: ~10M words around a 10¹⁰-token crawl). At
+    * ~48 B/row (word + count + hash overhead) the broadcast map costs
+    * ~480 MB at 10M words — past executor comfort. Stated cutover:
+    * above ~4M distinct words (~200 MB), switch to
+    * [[docWordTokensSplit]] — the frequency-floored split every
+    * production tokenizer-costing job uses: words with corpus
+    * frequency ≥ floor form a SMALL broadcast head that covers almost
+    * all token OCCURRENCES (Zipf), and the rare tail — unbounded in
+    * TYPES but floor-bounded in per-word occurrences — takes the
+    * ordinary shuffle equi-join, which needs no driver-side
+    * materialization at any vocab size. BpeFallbackSpec pins
+    * pair-for-pair parity with the broadcast path at floor ∈
+    * {all-cold, split, all-hot}.
+    */
+  def docWordTokensSplit(s: SparkSession, d: String, freqFloor: Long): DataFrame = {
+    val words = docWords(s, d)
+    val counts = words.groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"),
+        size(bpeTokensExpr("w")).cast("long").as("n_tok"))
+    val hot = counts.filter(col("freq") >= freqFloor).select("w", "n_tok")
+    val cold = counts.filter(col("freq") < freqFloor).select("w", "n_tok")
+    // head: broadcast hash join, no shuffle of the corpus; tail: the
+    // corpus rows that MISSED the head (each such word occurs < floor
+    // times) shuffle-join the cold map. At real scale the `tagged`
+    // stage is persisted so the corpus scans once; at test scale the
+    // recompute is cheaper than the cache.
+    val tagged = words.join(broadcast(hot), Seq("w"), "left")
+    val hit = tagged.filter(col("n_tok").isNotNull)
+    val miss = tagged.filter(col("n_tok").isNull).drop("n_tok")
+      .join(cold, Seq("w"))
+    hit.unionByName(miss).select(col("doc_id"), col("w"), col("n_tok"))
+  }
 
   /** Per-doc subword budget: whitespace word count, BPE token count,
     * and the compression ratio — THE number a token-budgeted corpus

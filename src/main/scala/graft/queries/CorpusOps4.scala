@@ -113,9 +113,15 @@ object CorpusOps4 {
       .agg(count(lit(1)).as("k"))
     val enTok = tok.filter(col("lang") === "en")
     val entok = enTok.select(explode(col("t")).as("w"))
-    val c1 = entok.groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val tot = entok.agg(count(lit(1)).cast("long").as("n1"),
-      countDistinct(col("w")).cast("long").as("v"))
+    // c1 feeds THREE consumers (the model's w1 join, the backoff's w2
+    // join, and the (N1, V) totals); cached it is derived from the en
+    // corpus once — a vocabulary-TYPE table, corpus-bounded (and
+    // rotation-capped ≤806 rows on this corpus family)
+    val c1 = entok.groupBy(col("w")).agg(count(lit(1)).as("c")).cache()
+    // N1 = Σc, V = |c1|: exactly the en token/vocab totals, without a
+    // second explode over the en corpus
+    val tot = c1.agg(sum(col("c")).cast("long").as("n1"),
+      count(lit(1)).cast("long").as("v"))
     val c2 = enTok.select(explode(expr(bigramsOfT)).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
     // df ≥ 2 count floor (r14, VERDICT r13 item 4 — the CCNet pruning
@@ -134,10 +140,20 @@ object CorpusOps4 {
           .cast("long").as("lw_q"))
     val backoffQ = round(log(lit(0.4) * (coalesce(col("u2"), lit(0L)) + 1)
         / greatest(col("n1") + col("v"), lit(1L))) * 1e6).cast("long")
+    // both scoring joins BROADCAST their model side: c1 and the
+    // floored model are en-TYPE tables (unigram vocab / df≥2 bigram
+    // types — Heaps-sublinear, rotation-capped ≤806 words on this
+    // corpus family), so the corpus-proportional bd never shuffles
+    // before the per-doc aggregate (which partial-aggregates map-side).
+    // Without the hints Spark's post-aggregate size estimates pushed
+    // both joins to SMJ — two full bd shuffles, measured 2× the row's
+    // sf10 wall time. Past the ~4M-type broadcast ceiling the same
+    // frequency-floored split documented at BpeOps.docWordTokensSplit
+    // applies.
     val scored = bd
-      .join(model, Seq("bg"), "left")
+      .join(broadcast(model), Seq("bg"), "left")
       .withColumn("w2", expr("element_at(split(bg, ' '), 2)"))
-      .join(c1.select(col("w").as("w2"), col("c").as("u2")), Seq("w2"), "left")
+      .join(broadcast(c1.select(col("w").as("w2"), col("c").as("u2"))), Seq("w2"), "left")
       .crossJoin(broadcast(tot))
       .select(col("doc_id"), col("lang"), col("k"),
         coalesce(col("lw_q"), backoffQ).as("lwq"))
