@@ -23,6 +23,20 @@ object PlanAudit {
     // shuffle joins keyed on a skewable FK (both feed PlanQualitySpec's
     // pinned expected sets). The skewjoin walk disables auto-broadcast
     // so tiny sf0.001 inputs show the join strategy used at scale.
+    // "lambdasplit": loop-invariant split() inside HOF lambdas in the
+    // OPTIMIZED logical plan — the CollapseProject O(tokens²) pathology
+    // (r14); feeds PlanQualitySpec's pinned-empty gate
+    if (mode == "lambdasplit") {
+      SparkEntry.declared.foreach { q =>
+        val hits =
+          try PlanWalk.loopInvariantSplitsInLambdas(
+            q.fn(spark, sfDir).queryExecution.sparkPlan)
+          catch { case e: Throwable => Seq(s"PLAN-FAILED ${e.getMessage.take(100)}") }
+        if (hits.nonEmpty)
+          println(f"${hits.size}%3d  ${q.name}%-28s ${hits.mkString(" | ").take(140)}")
+      }
+      spark.stop(); return
+    }
     if (mode == "window" || mode == "skewjoin" || mode == "joins" || mode == "windowrows") {
       if (mode == "skewjoin" || mode == "joins")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -82,6 +82,47 @@ object PlanWalk {
     }
   }
 
+  /** Loop-invariant `split()` calls inside higher-order-function
+    * lambdas anywhere in a PHYSICAL plan — the r14 find (jstack on the
+    * sf100 probe): `PushPredicateThroughProject` substitutes a
+    * `split(text).as("t")` alias chain into a pushed-down filter
+    * condition (e.g. `filter(size(shingles) > 0)`), leaving a Filter
+    * that re-derives the tokenization with the split INLINED INSIDE
+    * the shingle lambda — the document is re-split PER LAMBDA ELEMENT,
+    * O(tokens²) per row. Measured 49.0 s vs 21.7 s at sf1 on the
+    * 3-gram shingle count alone. A split whose arguments reference the
+    * lambda's own variables is per-element work on the element itself
+    * (linear, legitimate) and is not flagged. The walk descends into
+    * InMemoryTableScanExec cached plans (Lsh caches its hashed corpus,
+    * which is exactly where the burned filter lived — a logical-plan
+    * walk sees none of it). Fix sites with a cheap pre-filter (e.g.
+    * `size(split(...)) >= n`, linear) or
+    * graft.functions.TextOps.let1 (lambda variables are never inlined).
+    */
+  def loopInvariantSplitsInLambdas(p: SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Expression, HigherOrderFunction, LambdaFunction, NamedLambdaVariable, StringSplit}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def badInExpr(e: Expression): Seq[String] = e.collect {
+      case h: HigherOrderFunction =>
+        h.functions.collect {
+          case lf: LambdaFunction =>
+            lf.function.collect {
+              case s: StringSplit if !s.exists(_.isInstanceOf[NamedLambdaVariable]) =>
+                s"loop-invariant ${s.sql.take(80)} inside ${h.prettyName} lambda"
+            }
+        }.flatten
+    }.flatten
+    p.collect { case node =>
+      val here = node.expressions.flatMap(badInExpr)
+      val cached = node match {
+        case im: InMemoryTableScanExec =>
+          loopInvariantSplitsInLambdas(im.relation.cachedPlan)
+        case _ => Nil
+      }
+      here ++ cached
+    }.flatten
+  }
+
   /** Unpartitioned WindowExec nodes (each sorts its whole input on ONE
     * partition at scale).
     */

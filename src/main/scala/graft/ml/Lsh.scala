@@ -20,10 +20,19 @@ object Lsh {
     */
   /** Distinct token-shingle sets, one array per doc. Tokenize ONCE per
     * row — a split inside the lambda would re-split the whole doc per
-    * shingle element (O(tokens²) per doc).
+    * shingle element (O(tokens²) per doc). The CHEAP pre-filter (one
+    * linear split per row) replaces any downstream
+    * `filter(size(shingles) > 0)`: pushing THAT predicate substitutes
+    * the alias chain into the filter condition, inlining the split
+    * inside the shingle lambda — the O(tokens²) Filter that burned the
+    * r13/r14 sf100 probes (PlanWalk.loopInvariantSplitsInLambdas gates
+    * the whole surface against the shape). A doc yields ≥1 shingle iff
+    * it has ≥ shingleLen tokens, so the conditions are equivalent; a
+    * NULL text nulls both and is dropped either way.
     */
   private def shingleDocs(docs: DataFrame, shingleLen: Int): DataFrame =
     docs
+      .filter(size(split(lower(col("text")), " ")) >= shingleLen)
       .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
       .select(col("doc_id"),
         // slice-of-sequence guards docs shorter than the shingle (Spark
@@ -46,7 +55,11 @@ object Lsh {
     // practice on web-scale corpora; off by default because it costs a
     // df-counting pass (this synthetic corpus has max df 0.5% — nothing
     // to prune).
-    val shingled = (if (maxDfFraction >= 1.0) raw else {
+    // raw is already nonempty-guaranteed by shingleDocs' cheap
+    // pre-filter; only the prune path can empty a shingle set (its
+    // size-filter substitutes the pruneUdf call — one linear UDF eval,
+    // not the lambda re-split the old shingle-size filter caused)
+    val shingled = if (maxDfFraction >= 1.0) raw else {
       val nDocs = docs.count()
       val hot = raw.select(explode(col("shingles")).as("s"))
         .groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -57,7 +70,8 @@ object Lsh {
         xs.filterNot(hotBc.value.contains)
       }
       raw.withColumn("shingles", pruneUdf(col("shingles")))
-    }).filter(size(col("shingles")) > 0)
+        .filter(size(col("shingles")) > 0)
+    }
     val tf = new HashingTF()
       .setInputCol("shingles").setOutputCol("features")
       .setNumFeatures(1 << 18).setBinary(true)
@@ -113,8 +127,22 @@ object Lsh {
                     shingleLen: Int = 3): DataFrame = {
     import org.apache.spark.ml.functions.vector_to_array
     import org.apache.spark.sql.expressions.Window
-    val shingled = shingleDocs(docs, shingleLen)
-      .filter(size(col("shingles")) > 0)
+    // Generator-stage parallelism guard (the stats_permutation_test
+    // precedent): the shingle+TF+minhash stage is heavy interpreted
+    // per-row work, and a FEW-FILE corpus strands it on a handful of
+    // tasks — a single 580 MB fixture file at sf100 splits into 32
+    // byte ranges but its ~5 parquet row groups land in only ~2-5 of
+    // them (a row group belongs to the split holding its midpoint), so
+    // partition COUNT looks healthy while 30 splits are empty; the
+    // cache-fill pass measured as two ~2000-CPU-s stragglers on 32
+    // cores. Guard on input FILE count, which is what actually bounds
+    // row-group spread: one narrow shuffle of the raw (doc_id, text)
+    // rows is the right trade there, and on a many-file corpus (any
+    // real 100 TB layout) the guard is false and no shuffle is added.
+    val para = spark.sparkContext.defaultParallelism
+    val fewFiles = docs.inputFiles.length < para
+    val base = if (fewFiles) docs.repartition(para) else docs
+    val shingled = shingleDocs(base, shingleLen) // nonempty by pre-filter
     val tf = new HashingTF()
       .setInputCol("shingles").setOutputCol("features")
       .setNumFeatures(1 << 18).setBinary(true)

@@ -379,6 +379,63 @@ class PlanQualitySpec extends SparkSpec {
     assert(derived.contains("user_id"), s"true FK user_id must still derive: $derived")
   }
 
+  test("lambda-split walk is sensitive: the pushed-filter inline IS detected; let1/per-element are NOT") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    // the r14 pathology: PushPredicateThroughProject substitutes the
+    // tokenize alias chain into the pushed-down filter, leaving split()
+    // inlined INSIDE the shingle lambda -> O(tokens²) per row in the
+    // Filter (proved by jstack on the sf100 probe; 49.0 s vs 21.7 s at
+    // sf1 on the shingle count alone)
+    val pushed = docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(
+            slice(sequence(1, greatest(size(t) - 2, 1)), 1, greatest(size(t) - 2, 0)),
+            i -> concat_ws(' ', slice(t, i, 3))))""").as("sh"))
+      .filter(size(col("sh")) > 0)
+    assert(PlanWalk.loopInvariantSplitsInLambdas(
+        pushed.queryExecution.sparkPlan).nonEmpty,
+      "pushed-filter split-into-lambda must be flagged:\n" +
+        pushed.queryExecution.sparkPlan.toString.take(2000))
+    // the let1 form binds the split as a lambda VARIABLE — never
+    // inlined, even through predicate-pushdown substitution
+    val bound = docs.select(col("doc_id"),
+        graft.functions.TextOps.tokenShingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    assert(PlanWalk.loopInvariantSplitsInLambdas(
+        bound.queryExecution.sparkPlan).isEmpty,
+      "let1-bound shingles must NOT be flagged")
+    // a split OF the lambda element itself is linear, legitimate work
+    val perElement = docs.select(
+      transform(split(col("text"), "\\."), s => size(split(s, " "))).as("n"))
+    assert(PlanWalk.loopInvariantSplitsInLambdas(
+        perElement.queryExecution.sparkPlan).isEmpty,
+      "per-element split must NOT be flagged")
+    // the walk descends into cached plans (where the burned Lsh filter
+    // actually lived — invisible to any logical-plan walk)
+    val cachedBad = pushed.cache()
+    try {
+      cachedBad.count()
+      val viaCache = cachedBad.filter(col("doc_id") >= 0)
+      assert(PlanWalk.loopInvariantSplitsInLambdas(
+          viaCache.queryExecution.sparkPlan).nonEmpty,
+        "the inline inside an InMemoryRelation cached plan must be flagged")
+    } finally cachedBad.unpersist()
+  }
+
+  test("no declared query re-evaluates a loop-invariant split inside a lambda") {
+    val offenders = SparkEntry.declared.flatMap { q =>
+      val hits =
+        try PlanWalk.loopInvariantSplitsInLambdas(
+          q.fn(spark, sf()).queryExecution.sparkPlan)
+        catch { case e: Throwable => Seq(s"PLAN-FAILED ${e.getMessage}") }
+      hits.map(h => s"${q.name}: $h")
+    }
+    assert(offenders.isEmpty,
+      s"O(tokens²) tokenization re-evaluation (cheap pre-filter or TextOps.let1):\n  ${offenders.mkString("\n  ")}")
+  }
+
   test("parquet scans never read the full lineitem schema needlessly") {
     // lineitem has 11 columns; scan_count needs 0, project_expr needs 7.
     val plan = SparkEntry.queries("scan_count")(spark, sf())
