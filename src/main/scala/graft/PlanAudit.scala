@@ -29,7 +29,7 @@ object PlanAudit {
     if (mode == "lambdasplit") {
       SparkEntry.declared.foreach { q =>
         val hits =
-          try PlanWalk.loopInvariantSplitsInLambdas(
+          try PlanWalk.loopInvariantExpensiveInLambdas(
             q.fn(spark, sfDir).queryExecution.sparkPlan)
           catch { case e: Throwable => Seq(s"PLAN-FAILED ${e.getMessage.take(100)}") }
         if (hits.nonEmpty)

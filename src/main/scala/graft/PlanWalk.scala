@@ -61,7 +61,7 @@ object PlanWalk {
     * doc_id, vec_id) can't concentrate — every key has exactly one row.
     */
   def deriveSkewableIds(spark: SparkSession, sfDir: String): Set[String] = {
-    import org.apache.spark.sql.functions.{count_distinct, col, count}
+    import org.apache.spark.sql.functions.{count_distinct, col, count, lit}
     val keyName = "(?i)(_id|key)$".r
     factTables.flatMap { t =>
       val df = spark.read.parquet(s"$sfDir/$t.parquet")
@@ -71,18 +71,30 @@ object PlanWalk {
         // non-uniqueness = distinct < NON-NULL count, column by column:
         // count_distinct ignores NULLs, so comparing against count(*)
         // would misclassify a unique-but-nullable key (e.g. a
-        // nulled-corpus dir) as skewable (ADVICE r13)
+        // nulled-corpus dir) as skewable (ADVICE r13). But a MOSTLY-NULL
+        // key is its own skew vector even when its non-null values are
+        // unique: NULL keys all hash to one partition in shuffle OUTER
+        // joins (inner equi-joins drop them before the shuffle matters)
+        // — so a column whose NULL fraction exceeds 1/3 also derives
+        // (ADVICE r14; 1/3 of all rows on one of 32 partitions is a
+        // >10x concentration, while the nulled-corpus gate fixtures
+        // stay in the 10-30% band and must keep deriving by
+        // multiplicity, not by NULL mass).
         val aggs = keyCols.flatMap(c =>
-          Seq(count_distinct(col(c)).as(s"d_$c"), count(col(c)).as(s"n_$c")))
+          Seq(count_distinct(col(c)).as(s"d_$c"), count(col(c)).as(s"n_$c"))) :+
+          count(lit(1)).as("rows")
         val r = df.agg(aggs.head, aggs.tail: _*).head()
+        val rows = r.getLong(2 * keyCols.length)
         keyCols.zipWithIndex.collect {
-          case (c, i) if r.getLong(2 * i) < r.getLong(2 * i + 1) => c
+          case (c, i)
+              if r.getLong(2 * i) < r.getLong(2 * i + 1) ||
+                (rows - r.getLong(2 * i + 1)).toDouble > rows / 3.0 => c
         }
       }
     }
   }
 
-  /** Loop-invariant `split()` calls inside higher-order-function
+  /** Loop-invariant EXPENSIVE expressions inside higher-order-function
     * lambdas anywhere in a PHYSICAL plan — the r14 find (jstack on the
     * sf100 probe): `PushPredicateThroughProject` substitutes a
     * `split(text).as("t")` alias chain into a pushed-down filter
@@ -90,33 +102,74 @@ object PlanWalk {
     * that re-derives the tokenization with the split INLINED INSIDE
     * the shingle lambda — the document is re-split PER LAMBDA ELEMENT,
     * O(tokens²) per row. Measured 49.0 s vs 21.7 s at sf1 on the
-    * 3-gram shingle count alone. A split whose arguments reference the
-    * lambda's own variables is per-element work on the element itself
-    * (linear, legitimate) and is not flagged. The walk descends into
-    * InMemoryTableScanExec cached plans (Lsh caches its hashed corpus,
-    * which is exactly where the burned filter lived — a logical-plan
-    * walk sees none of it). Fix sites with a cheap pre-filter (e.g.
-    * `size(split(...)) >= n`, linear) or
+    * 3-gram shingle count alone.
+    *
+    * r15 generalization (VERDICT r14 item 5): the inline-into-lambda
+    * mechanism is expression-agnostic — any expensive string/parse
+    * kernel an alias chain feeds into a pushed predicate gets the same
+    * O(n·cost) re-evaluation — so the detector now covers the regexp
+    * family (regexp_extract/_all, regexp_replace, like/rlike),
+    * from_json and sentences alongside split.
+    *
+    * Invariance is judged against the INNERMOST enclosing lambda's OWN
+    * arguments (ADVICE r14): an expression referencing only an OUTER
+    * lambda's variable inside a nested lambda is still re-evaluated per
+    * INNER element. An expression consuming the enclosing lambda's own
+    * element is per-element work (linear, legitimate) and is not
+    * flagged. The walk descends into InMemoryTableScanExec cached plans
+    * (Lsh caches its hashed corpus, which is exactly where the burned
+    * filter lived — a logical-plan walk sees none of it). Fix sites
+    * with a cheap pre-filter (e.g. `size(split(...)) >= n`, linear) or
     * graft.functions.TextOps.let1 (lambda variables are never inlined).
     */
-  def loopInvariantSplitsInLambdas(p: SparkPlan): Seq[String] = {
-    import org.apache.spark.sql.catalyst.expressions.{Expression, HigherOrderFunction, LambdaFunction, NamedLambdaVariable, StringSplit}
+  def loopInvariantExpensiveInLambdas(p: SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Expression, HigherOrderFunction, JsonToStructs, LambdaFunction, Like, NamedLambdaVariable, RegExpExtract, RegExpExtractAll, RegExpReplace, RLike, Sentences, StringSplit}
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-    def badInExpr(e: Expression): Seq[String] = e.collect {
-      case h: HigherOrderFunction =>
-        h.functions.collect {
-          case lf: LambdaFunction =>
-            lf.function.collect {
-              case s: StringSplit if !s.exists(_.isInstanceOf[NamedLambdaVariable]) =>
-                s"loop-invariant ${s.sql.take(80)} inside ${h.prettyName} lambda"
+    def expensive(e: Expression): Option[String] = e match {
+      case _: StringSplit      => Some("split")
+      case _: RegExpExtract    => Some("regexp_extract")
+      case _: RegExpExtractAll => Some("regexp_extract_all")
+      case _: RegExpReplace    => Some("regexp_replace")
+      case _: Like             => Some("like")
+      case _: RLike            => Some("rlike")
+      case _: JsonToStructs    => Some("from_json")
+      case _: Sentences        => Some("sentences")
+      case _                   => None
+    }
+    // `scope` = the innermost enclosing lambda's argument ids (None when
+    // outside any lambda); `hof` = that lambda's owning HOF, for the
+    // message. Children of an expensive hit are still walked — a nested
+    // lambda inside it gets its own scope.
+    def walk(e: Expression, hof: Option[String], scope: Option[Set[ExprId]]): Seq[String] = {
+      val hit = (scope, expensive(e)) match {
+        case (Some(args), Some(nm))
+            if e.collect { case v: NamedLambdaVariable => v.exprId }
+              .toSet.intersect(args).isEmpty =>
+          Seq(s"loop-invariant $nm ${e.sql.take(80)} inside ${hof.getOrElse("?")} lambda")
+        case _ => Nil
+      }
+      val kids = e match {
+        case h: HigherOrderFunction =>
+          // HOF arguments (the collections) are evaluated once per row —
+          // keep the current scope; each lambda body is evaluated per
+          // element of ITS collection — its own args become the scope
+          h.arguments.flatMap(walk(_, hof, scope)) ++
+            h.functions.flatMap {
+              case lf: LambdaFunction =>
+                val args = lf.arguments
+                  .collect { case v: NamedLambdaVariable => v.exprId }.toSet
+                walk(lf.function, Some(h.prettyName), Some(args))
+              case other => walk(other, hof, scope)
             }
-        }.flatten
-    }.flatten
+        case _ => e.children.flatMap(walk(_, hof, scope))
+      }
+      hit ++ kids
+    }
     p.collect { case node =>
-      val here = node.expressions.flatMap(badInExpr)
+      val here = node.expressions.flatMap(walk(_, None, None))
       val cached = node match {
         case im: InMemoryTableScanExec =>
-          loopInvariantSplitsInLambdas(im.relation.cachedPlan)
+          loopInvariantExpensiveInLambdas(im.relation.cachedPlan)
         case _ => Nil
       }
       here ++ cached

@@ -25,7 +25,7 @@ object Lsh {
     * `filter(size(shingles) > 0)`: pushing THAT predicate substitutes
     * the alias chain into the filter condition, inlining the split
     * inside the shingle lambda — the O(tokens²) Filter that burned the
-    * r13/r14 sf100 probes (PlanWalk.loopInvariantSplitsInLambdas gates
+    * r13/r14 sf100 probes (PlanWalk.loopInvariantExpensiveInLambdas gates
     * the whole surface against the shape). A doc yields ≥1 shingle iff
     * it has ≥ shingleLen tokens, so the conditions are equivalent; a
     * NULL text nulls both and is dropped either way.
@@ -150,7 +150,12 @@ object Lsh {
     // AND the corpus bucket scan — uncached it re-derives shingles from
     // the raw text three times (measured 2× the row's wall time at
     // sf0.1). One sparse row per doc, corpus-bounded, same rationale as
-    // textNearDupPairs' hashed.cache().
+    // textNearDupPairs' hashed.cache(). No unpersist is possible here —
+    // the returned frame is unexecuted and still reads the cache — so
+    // release relies on the caller's clearCache() (Bench/TimeQ between
+    // passes) or storage-level LRU eviction under pressure (ADVICE r14:
+    // this is a documented reliance, and the cached relation is
+    // MEMORY_AND_DISK corpus-bounded, never pair-proportional).
     val vecs = tf.transform(shingled).cache()
     if (vecs.isEmpty) return emptyPairs(spark, "q", "nb")
     val mh = new MinHashLSH()

@@ -104,7 +104,21 @@ object CorpusOps4 {
       |FROM ranked
       |ORDER BY mean_q ASC, sum_lp_micros ASC, doc_id ASC
       |LIMIT 25""".stripMargin
-  ) { (s, d) =>
+  ) { (s, d) => perplexityScored(s, d, hotFloor = None) }
+
+  /** The type-table sides of the scoring joins: per-doc bigram counts
+    * `bd`, the floored en model `(bg, c2, lw_q)` (training count KEPT so
+    * the fallback can frequency-split it), cached unigram `c1`, and the
+    * 1-row totals. c1 feeds THREE consumers (the model's w1 join, the
+    * backoff's w2 join, and the (N1, V) totals); cached it is derived
+    * from the en corpus once — a vocabulary-TYPE table, corpus-bounded
+    * (and rotation-capped ≤806 rows on this corpus family). Neither
+    * cache is explicitly unpersisted — the declared row returns an
+    * unexecuted frame, so release is the session's storage-eviction /
+    * clearCache() discipline (the textNearDupPairs idiom; Bench and
+    * TimeQ clear between passes).
+    */
+  private def pplParts(s: org.apache.spark.sql.SparkSession, d: String) = {
     val tok = T.documents(s, d).filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"), split(lower(col("text")), " ").as("t"))
     val grams = tok.select(col("doc_id"), col("lang"),
@@ -113,10 +127,6 @@ object CorpusOps4 {
       .agg(count(lit(1)).as("k"))
     val enTok = tok.filter(col("lang") === "en")
     val entok = enTok.select(explode(col("t")).as("w"))
-    // c1 feeds THREE consumers (the model's w1 join, the backoff's w2
-    // join, and the (N1, V) totals); cached it is derived from the en
-    // corpus once — a vocabulary-TYPE table, corpus-bounded (and
-    // rotation-capped ≤806 rows on this corpus family)
     val c1 = entok.groupBy(col("w")).agg(count(lit(1)).as("c")).cache()
     // N1 = Σc, V = |c1|: exactly the en token/vocab totals, without a
     // second explode over the en corpus
@@ -128,32 +138,91 @@ object CorpusOps4 {
     // step): singleton training bigrams, the bulk of Heaps-law type
     // growth (sf100 probe: exp 1.07 without the floor), are dropped
     // from the model and score through the backoff path instead. The
-    // model table is now the FLOORED en-bigram-TYPE table — scoring
-    // joins it per bd row (left), so the per-corpus-bigram-TYPE
-    // materialization the old shape carried is gone entirely.
+    // model table is the FLOORED en-bigram-TYPE table — scoring joins
+    // it per bd row (left), so the per-corpus-bigram-TYPE
+    // materialization the old shape carried is gone entirely. Cached:
+    // the broadcast-ceiling gate counts it, and the scoring join then
+    // reads the materialized types instead of re-deriving them.
     val model = c2.filter(col("c2") >= 2)
       .select(col("bg"), col("c2"),
         expr("element_at(split(bg, ' '), 1)").as("w1"))
       .join(c1.select(col("w").as("w1"), col("c").as("u1")), Seq("w1"))
-      .select(col("bg"),
+      .select(col("bg"), col("c2"),
         round(log(col("c2").cast("double") / col("u1")) * 1e6)
           .cast("long").as("lw_q"))
+      .cache()
+    (bd, model, c1, tot)
+  }
+
+  /** Hot/cold split of a LEFT type-table join (the docWordTokensSplit
+    * pattern, BpeOps.scala): rows matching the frequency-floored HEAD
+    * take the broadcast hash join; the rows that MISSED it (each key
+    * there occurs < floor times in training, so the tail is bounded per
+    * key) take the ordinary shuffle equi-join against the cold tail —
+    * which needs no driver-side materialization at any type count.
+    * Left semantics survive: hot and cold partition the type keys, so a
+    * key in neither stays an unmatched (NULL-valued) row exactly once.
+    */
+  private def splitLeftJoin(big: org.apache.spark.sql.DataFrame,
+                            types: org.apache.spark.sql.DataFrame,
+                            key: String, valCol: String,
+                            hot: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    val head = types.filter(hot).select(col(key), col(valCol))
+    val tail = types.filter(!hot).select(col(key), col(valCol))
+    val tagged = big.join(broadcast(head), Seq(key), "left")
+    val hit = tagged.filter(col(valCol).isNotNull)
+    val miss = tagged.filter(col(valCol).isNull).drop(valCol)
+      .join(tail, Seq(key), "left")
+    hit.unionByName(miss)
+  }
+
+  /** Scoring + ranking, with the model-side join posture decided by a
+    * MEASURED type count (ADVICE r14; the cutover was prose-only):
+    *
+    *  - broadcast (hotFloor = None and the floored model's measured
+    *    type count ≤ `spark.graft.perplexity.broadcastTypeCeiling`,
+    *    default 4M ≈ 200 MB): c1 and the floored model are en-TYPE
+    *    tables (Heaps-sublinear; rotation-capped ≤806 on this corpus
+    *    family), so the corpus-proportional bd never shuffles before
+    *    the per-doc aggregate. Without the hints Spark's post-aggregate
+    *    size estimates pushed both joins to SMJ — two full bd shuffles,
+    *    measured 2× the row's sf10 wall time. The gating count is read
+    *    off the CACHED model, so the scoring join reuses the
+    *    materialized types — the measurement costs no extra pass.
+    *  - frequency-floored split (hotFloor = Some(f), or measured types
+    *    past the ceiling, floor from
+    *    `spark.graft.perplexity.hotFloor`, default 100): Zipf's head
+    *    (training count ≥ f) broadcasts and covers almost all bigram
+    *    OCCURRENCES; the rare tail shuffle-joins. PerplexityFallbackSpec
+    *    pins row-for-row parity in all-hot / split / all-cold floor
+    *    regimes.
+    */
+  def perplexityScored(s: org.apache.spark.sql.SparkSession, d: String,
+                       hotFloor: Option[Long]): org.apache.spark.sql.DataFrame = {
+    val (bd, model, c1, tot) = pplParts(s, d)
+    val ceiling = s.conf.getOption("spark.graft.perplexity.broadcastTypeCeiling")
+      .map(_.toLong).getOrElse(4000000L)
+    val floor = hotFloor.orElse {
+      if (model.count() <= ceiling) None
+      else Some(s.conf.getOption("spark.graft.perplexity.hotFloor")
+        .map(_.toLong).getOrElse(100L))
+    }
+    val modelT = model.select(col("bg"), col("c2"), col("lw_q"))
+    val c1w2 = c1.select(col("w").as("w2"), col("c").as("u2"))
+    val bdw = bd.withColumn("w2", expr("element_at(split(bg, ' '), 2)"))
+    val joined = floor match {
+      case None =>
+        bdw.join(broadcast(modelT.drop("c2")), Seq("bg"), "left")
+          .join(broadcast(c1w2), Seq("w2"), "left")
+      case Some(f) =>
+        // u2 doubles as the unigram's own training frequency, so the
+        // same floor splits both type tables
+        val m = splitLeftJoin(bdw, modelT, "bg", "lw_q", col("c2") >= f)
+        splitLeftJoin(m, c1w2, "w2", "u2", col("u2") >= f)
+    }
     val backoffQ = round(log(lit(0.4) * (coalesce(col("u2"), lit(0L)) + 1)
         / greatest(col("n1") + col("v"), lit(1L))) * 1e6).cast("long")
-    // both scoring joins BROADCAST their model side: c1 and the
-    // floored model are en-TYPE tables (unigram vocab / df≥2 bigram
-    // types — Heaps-sublinear, rotation-capped ≤806 words on this
-    // corpus family), so the corpus-proportional bd never shuffles
-    // before the per-doc aggregate (which partial-aggregates map-side).
-    // Without the hints Spark's post-aggregate size estimates pushed
-    // both joins to SMJ — two full bd shuffles, measured 2× the row's
-    // sf10 wall time. Past the ~4M-type broadcast ceiling the same
-    // frequency-floored split documented at BpeOps.docWordTokensSplit
-    // applies.
-    val scored = bd
-      .join(broadcast(model), Seq("bg"), "left")
-      .withColumn("w2", expr("element_at(split(bg, ' '), 2)"))
-      .join(broadcast(c1.select(col("w").as("w2"), col("c").as("u2"))), Seq("w2"), "left")
+    val scored = joined
       .crossJoin(broadcast(tot))
       .select(col("doc_id"), col("lang"), col("k"),
         coalesce(col("lw_q"), backoffQ).as("lwq"))

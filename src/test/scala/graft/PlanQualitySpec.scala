@@ -377,6 +377,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(!derived.contains("event_id"),
       s"nullable-but-unique event_id misclassified as skewable: $derived")
     assert(derived.contains("user_id"), s"true FK user_id must still derive: $derived")
+
+    // ADVICE r14: a MOSTLY-NULL key is a skew vector even with unique
+    // non-null values — NULL keys all hash to one partition in shuffle
+    // outer joins. Re-null event_id at 50% (> the 1/3 threshold): now
+    // it must derive by NULL mass despite being distinct-per-row.
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_nullheavy_").toString
+    src.withColumn("event_id",
+        when(col("event_id") % 2 === 0, lit(null)).otherwise(col("event_id")))
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    Seq("orders", "lineitem", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"${sf()}/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dir2/$t.parquet")
+    }
+    val derived2 = PlanWalk.deriveSkewableIds(spark, dir2)
+    assert(derived2.contains("event_id"),
+      s"50%-NULL event_id must derive as skewable (outer-join NULL partition): $derived2")
   }
 
   test("lambda-split walk is sensitive: the pushed-filter inline IS detected; let1/per-element are NOT") {
@@ -394,7 +410,7 @@ class PlanQualitySpec extends SparkSpec {
             slice(sequence(1, greatest(size(t) - 2, 1)), 1, greatest(size(t) - 2, 0)),
             i -> concat_ws(' ', slice(t, i, 3))))""").as("sh"))
       .filter(size(col("sh")) > 0)
-    assert(PlanWalk.loopInvariantSplitsInLambdas(
+    assert(PlanWalk.loopInvariantExpensiveInLambdas(
         pushed.queryExecution.sparkPlan).nonEmpty,
       "pushed-filter split-into-lambda must be flagged:\n" +
         pushed.queryExecution.sparkPlan.toString.take(2000))
@@ -403,13 +419,13 @@ class PlanQualitySpec extends SparkSpec {
     val bound = docs.select(col("doc_id"),
         graft.functions.TextOps.tokenShingles(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
-    assert(PlanWalk.loopInvariantSplitsInLambdas(
+    assert(PlanWalk.loopInvariantExpensiveInLambdas(
         bound.queryExecution.sparkPlan).isEmpty,
       "let1-bound shingles must NOT be flagged")
     // a split OF the lambda element itself is linear, legitimate work
     val perElement = docs.select(
       transform(split(col("text"), "\\."), s => size(split(s, " "))).as("n"))
-    assert(PlanWalk.loopInvariantSplitsInLambdas(
+    assert(PlanWalk.loopInvariantExpensiveInLambdas(
         perElement.queryExecution.sparkPlan).isEmpty,
       "per-element split must NOT be flagged")
     // the walk descends into cached plans (where the burned Lsh filter
@@ -418,16 +434,52 @@ class PlanQualitySpec extends SparkSpec {
     try {
       cachedBad.count()
       val viaCache = cachedBad.filter(col("doc_id") >= 0)
-      assert(PlanWalk.loopInvariantSplitsInLambdas(
+      assert(PlanWalk.loopInvariantExpensiveInLambdas(
           viaCache.queryExecution.sparkPlan).nonEmpty,
         "the inline inside an InMemoryRelation cached plan must be flagged")
     } finally cachedBad.unpersist()
   }
 
+  test("lambda walk generalizes past split: regexp family flags, per-element regexp does not, nested-lambda invariance is scoped") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    // r15 red fixture (VERDICT r14 item 5): the same CollapseProject /
+    // PushPredicateThroughProject inline with regexp_extract_all as the
+    // tokenizer — the old StringSplit-only detector was blind to it
+    val pushedRe = docs
+      .select(col("doc_id"), expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("t"))
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(
+            slice(sequence(1, greatest(size(t) - 2, 1)), 1, greatest(size(t) - 2, 0)),
+            i -> concat_ws(' ', slice(t, i, 3))))""").as("sh"))
+      .filter(size(col("sh")) > 0)
+    val reHits = PlanWalk.loopInvariantExpensiveInLambdas(pushedRe.queryExecution.sparkPlan)
+    assert(reHits.exists(_.contains("regexp_extract_all")),
+      s"pushed-filter regexp_extract_all-into-lambda must be flagged, got: $reHits\n" +
+        pushedRe.queryExecution.sparkPlan.toString.take(2000))
+    // per-element regexp work on the lambda's own element is linear and
+    // legitimate — must NOT flag
+    val perElement = docs.select(
+      filter(split(col("text"), " "), w => w.rlike("^[a-z]+$")).as("w"))
+    assert(PlanWalk.loopInvariantExpensiveInLambdas(
+        perElement.queryExecution.sparkPlan).isEmpty,
+      "rlike on the lambda's own element must NOT be flagged")
+    // ADVICE r14: invariance is judged against the INNERMOST lambda's
+    // own arguments — split(x) referencing only the OUTER lambda's var
+    // inside a nested lambda is re-split per INNER element (the
+    // any-NamedLambdaVariable test was blind to this)
+    val nested = docs.select(expr(
+      """transform(split(text, '\\.'), x ->
+           transform(sequence(1, 3), i -> element_at(split(x, ' '), i)))""").as("n"))
+    val nestedHits = PlanWalk.loopInvariantExpensiveInLambdas(nested.queryExecution.sparkPlan)
+    assert(nestedHits.exists(_.contains("split")),
+      s"outer-var split inside the INNER lambda must be flagged: $nestedHits")
+  }
+
   test("no declared query re-evaluates a loop-invariant split inside a lambda") {
     val offenders = SparkEntry.declared.flatMap { q =>
       val hits =
-        try PlanWalk.loopInvariantSplitsInLambdas(
+        try PlanWalk.loopInvariantExpensiveInLambdas(
           q.fn(spark, sf()).queryExecution.sparkPlan)
         catch { case e: Throwable => Seq(s"PLAN-FAILED ${e.getMessage}") }
       hits.map(h => s"${q.name}: $h")

@@ -57,6 +57,15 @@ class LshSpec extends SparkSpec {
     val nearTruth = truthRows.filter(_.getDouble(2) <= 0.5)
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(nearTruth.nonEmpty, "fixture must contain near-dup truth pairs")
+    // ADVICE r14: the 0.5 cutoff assumes bimodality — near block
+    // < 0.1, noise ≥ 0.9, nothing between. Assert the gap, so a future
+    // fixture with genuine mid-range pairs (which would silently fall
+    // OUTSIDE the recall gate) fails loudly here instead.
+    val midTruth = truthRows.filter(r =>
+      r.getDouble(2) > 0.5 && r.getDouble(2) < 0.9)
+    assert(midTruth.isEmpty,
+      s"fixture no longer bimodal: ${midTruth.length} truth pairs in (0.5, 0.9) — " +
+        "re-derive the recall cutoff from the observed distance gap")
     val recall = nearTruth.count(got.contains).toDouble / nearTruth.size
     assert(recall >= 0.9, s"text probe top-k near-pair recall too low: $recall")
     // the per-probe cap is a hard output bound
