@@ -119,7 +119,19 @@ object CorpusOps4 {
     * TimeQ clear between passes).
     */
   private def pplParts(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val tok = T.documents(s, d).filter(col("text").isNotNull)
+    // Generator-stage parallelism guard (the Lsh.textProbeTopK /
+    // stats_permutation_test precedent, r15 find): on a FEW-FILE corpus
+    // the two explodes inherit the raw scan's effective partitioning,
+    // and a single parquet file concentrates its row groups in a
+    // handful of byte-range splits — jstack on the r15 sf100 probe
+    // caught ONE task carrying the whole doc-bigram explode's shuffle
+    // write (~3350 s straggler on 32 idle cores). One narrow shuffle of
+    // the raw (doc_id, lang, text) rows spreads the explode; on a
+    // many-file production layout the guard is false and adds nothing.
+    val raw = T.documents(s, d)
+    val para = s.sparkContext.defaultParallelism
+    val docs = if (raw.inputFiles.length < para) raw.repartition(para) else raw
+    val tok = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"), split(lower(col("text")), " ").as("t"))
     val grams = tok.select(col("doc_id"), col("lang"),
       explode(expr(bigramsOfT)).as("bg"))
