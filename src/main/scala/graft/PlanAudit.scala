@@ -17,6 +17,10 @@ object PlanAudit {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // plan-only consumer: skip the perplexity row's type-count
+    // measurement job (ADVICE r15) — the audit then inspects the SPLIT
+    // (past-the-ceiling) plan without executing a corpus job at this SF
+    spark.conf.set("spark.graft.perplexity.skipTypeMeasure", "true")
     val mode = args.drop(1).headOption.getOrElse("sortagg")
     // structural modes (PlanWalk): "window" prints per-query counts of
     // unpartitioned WindowExec nodes; "skewjoin" prints fact×fact
@@ -37,7 +41,8 @@ object PlanAudit {
       }
       spark.stop(); return
     }
-    if (mode == "window" || mode == "skewjoin" || mode == "joins" || mode == "windowrows") {
+    if (mode == "window" || mode == "skewjoin" || mode == "joins" || mode == "windowrows"
+        || mode == "genhealth") {
       if (mode == "skewjoin" || mode == "joins")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       // "windowrows" EXECUTES each allowlisted query and reports the
@@ -45,7 +50,11 @@ object PlanAudit {
       // (WindowExec emits exactly one output row per input row, so its
       // numOutputRows metric IS the rows-on-one-partition figure). AQE
       // off so the executed plan keeps plain WindowExec nodes visible.
-      if (mode == "windowrows") spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // "genhealth" EXECUTES each generator's input subtree and reports
+      // its measured per-partition row spread (PlanWalk scaladoc: the
+      // few-file explode-straggler detector). AQE off as for windowrows.
+      if (mode == "windowrows" || mode == "genhealth")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
       val skewIds =
         if (mode == "skewjoin") PlanWalk.skewableIds ++ PlanWalk.deriveSkewableIds(spark, sfDir)
         else PlanWalk.skewableIds
@@ -61,6 +70,8 @@ object PlanAudit {
               if (PlanWalk.unpartitionedWindows(plan).isEmpty) Nil
               else PlanWalk.unpartitionedWindowInputRows(df).map(n => s"rows=$n")
             }
+            else if (mode == "genhealth")
+              PlanWalk.generateInputPartitionHealth(df)
             else if (mode == "skewjoin") PlanWalk.skewRiskJoins(plan, skewIds)
             else plan.collect {
               // "joins": every SHUFFLE join with its equi-key names — the

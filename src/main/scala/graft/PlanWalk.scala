@@ -138,8 +138,12 @@ object PlanWalk {
     }
     // `scope` = the innermost enclosing lambda's argument ids (None when
     // outside any lambda); `hof` = that lambda's owning HOF, for the
-    // message. Children of an expensive hit are still walked — a nested
-    // lambda inside it gets its own scope.
+    // message. A hit reports ONCE per offending site: a composite of
+    // invariant expensive calls (regexp_replace over split) is one
+    // site, so the hit's subtree is NOT re-walked for more expensive
+    // nodes (ADVICE r15 — duplicate audit noise) EXCEPT into nested
+    // LambdaFunctions, which open a new scope and can hide a second,
+    // independent offense.
     def walk(e: Expression, hof: Option[String], scope: Option[Set[ExprId]]): Seq[String] = {
       val hit = (scope, expensive(e)) match {
         case (Some(args), Some(nm))
@@ -147,6 +151,24 @@ object PlanWalk {
               .toSet.intersect(args).isEmpty =>
           Seq(s"loop-invariant $nm ${e.sql.take(80)} inside ${hof.getOrElse("?")} lambda")
         case _ => Nil
+      }
+      if (hit.nonEmpty) {
+        // only nested lambdas (new scopes) inside the flagged subtree;
+        // TOPMOST HOFs only — walking each one recurses into anything
+        // deeper, so collecting all of them would double-report
+        def topHofs(x: Expression): Seq[HigherOrderFunction] = x match {
+          case h: HigherOrderFunction => Seq(h)
+          case _ => x.children.flatMap(topHofs)
+        }
+        val nested = e.children.flatMap(topHofs).flatMap(h =>
+          h.functions.flatMap {
+            case lf: LambdaFunction =>
+              val args = lf.arguments
+                .collect { case v: NamedLambdaVariable => v.exprId }.toSet
+              walk(lf.function, Some(h.prettyName), Some(args))
+            case _ => Nil
+          })
+        return hit ++ nested
       }
       val kids = e match {
         case h: HigherOrderFunction =>
@@ -194,6 +216,41 @@ object PlanWalk {
     df.queryExecution.executedPlan.collect {
       case w: WindowExec if w.partitionSpec.isEmpty => w.child.execute().count()
     }
+
+  /** Partition-health audit of every GenerateExec (explode/inline/
+    * posexplode/stack) INPUT in the executed plan: the MEASURED
+    * per-partition row counts of the rows feeding each generator —
+    * the few-file straggler detector (r15 find, now the shared
+    * Tables.spreadExplodeInput guard). A healthy explode input spreads
+    * its rows across ~all partitions; the pathology this surfaces is
+    * `nonEmpty ≪ parts` with one partition holding ~everything (a
+    * single parquet file's row groups concentrating in a handful of
+    * byte-range splits) — the shape that carried the whole sf100
+    * perplexity explode on ONE task for 3350 s. Executes each
+    * generator's child subtree (AQE must be OFF so plain GenerateExec
+    * nodes stay visible; the caller sets the conf).
+    */
+  def generateInputPartitionHealth(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    generateInputPartitionHealth(df.queryExecution.executedPlan)
+
+  private def generateInputPartitionHealth(plan: SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    plan.collect {
+      case g: GenerateExec =>
+        val counts = g.child.execute()
+          .mapPartitions(it => Iterator.single(it.size.toLong), preservesPartitioning = true)
+          .collect()
+        val parts = counts.length
+        val nonEmpty = counts.count(_ > 0L)
+        val mx = if (parts == 0) 0L else counts.max
+        val total = counts.sum
+        Seq(s"gen[${g.generator.prettyName}] parts=$parts nonEmpty=$nonEmpty max=$mx total=$total")
+      // a cached frame hides its explode inside the cached plan (the
+      // text_langid shape) — audit through it, as the lambda gate does
+      case im: InMemoryTableScanExec =>
+        generateInputPartitionHealth(im.relation.cachedPlan)
+    }.flatten
+  }
 
   private def isFactScan(f: FileSourceScanExec): Boolean =
     f.relation.location.rootPaths.exists(rp =>

@@ -64,4 +64,44 @@ object Tables {
   def dec2(c: Column): Column = c.cast("decimal(18,2)")
   /** D2: rates (discount/tax) → DECIMAL(18,4). */
   def dec4(c: Column): Column = c.cast("decimal(18,4)")
+
+  /** Few-file explode-straggler guard — THE shared helper for every
+    * generator-stage (explode/inline/posexplode) input that is
+    * row-inflating and corpus-proportional.
+    *
+    * The pathology (observed three times before this helper existed —
+    * stats_permutation_test r13, Lsh.textProbeTopK r14,
+    * text_perplexity_sb r15, each costing a multi-×-wall straggler at
+    * scale before its local copy of the guard landed): Spark sizes scan
+    * partitions by INPUT BYTES, and a parquet row group belongs to the
+    * byte-range split holding its MIDPOINT — so a few-file corpus
+    * (single-file test fixtures; small compact dims feeding a ×K
+    * generator) produces splits where partition COUNT looks healthy
+    * while most splits hold zero row groups. The explode's heavy
+    * per-row work then lands on the handful of tasks that own rows:
+    * the r15 sf100 perplexity probe jstacked to ONE task carrying the
+    * whole doc-bigram explode for ~3350 s of a 4180 s run on 32 idle
+    * cores; guarding it bought 3.4×.
+    *
+    * The guard: when the frame reads fewer files than the session's
+    * parallelism, ONE narrow shuffle of the raw pre-explode rows
+    * spreads them evenly — trivial next to the inflation it
+    * parallelizes. On a many-file production layout (any real 100 TB
+    * lake) the condition is false and NO shuffle is added, so the
+    * guard never costs anything where the scan already parallelizes.
+    * File count — not partition count — is the right predicate because
+    * file boundaries are what actually bound row-group spread.
+    *
+    * Apply AFTER the column pruning projection where practical (the
+    * shuffle then moves only the needed columns; Catalyst also pushes
+    * later Projects below the Repartition, so either order prunes).
+    * Results are partitioning-independent for every call site (all are
+    * aggregations/joins over the exploded rows), pinned by the oracle
+    * re-pass on the four evidence-bar corpora each time a site cuts
+    * over.
+    */
+  def spreadExplodeInput(s: SparkSession, df: DataFrame): DataFrame = {
+    val para = s.sparkContext.defaultParallelism
+    if (df.inputFiles.length < para) df.repartition(para) else df
+  }
 }

@@ -127,21 +127,12 @@ object Lsh {
                     shingleLen: Int = 3): DataFrame = {
     import org.apache.spark.ml.functions.vector_to_array
     import org.apache.spark.sql.expressions.Window
-    // Generator-stage parallelism guard (the stats_permutation_test
-    // precedent): the shingle+TF+minhash stage is heavy interpreted
-    // per-row work, and a FEW-FILE corpus strands it on a handful of
-    // tasks — a single 580 MB fixture file at sf100 splits into 32
-    // byte ranges but its ~5 parquet row groups land in only ~2-5 of
-    // them (a row group belongs to the split holding its midpoint), so
-    // partition COUNT looks healthy while 30 splits are empty; the
-    // cache-fill pass measured as two ~2000-CPU-s stragglers on 32
-    // cores. Guard on input FILE count, which is what actually bounds
-    // row-group spread: one narrow shuffle of the raw (doc_id, text)
-    // rows is the right trade there, and on a many-file corpus (any
-    // real 100 TB layout) the guard is false and no shuffle is added.
-    val para = spark.sparkContext.defaultParallelism
-    val fewFiles = docs.inputFiles.length < para
-    val base = if (fewFiles) docs.repartition(para) else docs
+    // Generator-stage parallelism guard: the shingle+TF+minhash stage
+    // is heavy interpreted per-row work, and a FEW-FILE corpus strands
+    // it on a handful of tasks (the cache-fill pass measured as two
+    // ~2000-CPU-s stragglers on 32 cores at sf100 before the guard).
+    // Shared helper — pathology documented at Tables.spreadExplodeInput.
+    val base = graft.Tables.spreadExplodeInput(spark, docs)
     val shingled = shingleDocs(base, shingleLen) // nonempty by pre-filter
     val tf = new HashingTF()
       .setInputCol("shingles").setOutputCol("features")
@@ -254,8 +245,12 @@ object Lsh {
     import graft.functions.VectorOps
     import org.apache.spark.ml.functions.vector_to_array
     import org.apache.spark.sql.expressions.Window
-    val vecs = embeddings.select(col("vec_id"), col("embedding"),
-      toVec(col("embedding")).as("features"))
+    // few-file straggler guard before the per-vector hash + posexplode
+    // stage (r16; pathology at Tables.spreadExplodeInput) — the
+    // embedding twin of textProbeTopK's guard
+    val vecs = graft.Tables.spreadExplodeInput(spark, embeddings)
+      .select(col("vec_id"), col("embedding"),
+        toVec(col("embedding")).as("features"))
     if (vecs.isEmpty) return emptyPairs(spark, "q", "nb")
     val brp = new BucketedRandomProjectionLSH()
       .setInputCol("features").setOutputCol("hashes")

@@ -66,8 +66,10 @@ object AnnPq {
        |WHERE rank <= 5
        |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
   ) { (s, d) =>
-    // null vectors are unencodable — excluded symmetrically in the oracle
-    val emb = T.embeddings(s, d).filter(col("embedding").isNotNull)
+    // null vectors are unencodable — excluded symmetrically in the oracle.
+    // Few-file straggler guard before the subvector explode (r16).
+    val emb = T.spreadExplodeInput(s, T.embeddings(s, d))
+      .filter(col("embedding").isNotNull)
     // (vec_id, ms, sv): the m 8-dim double subvectors of every vector
     val subs = emb.select(col("vec_id"), explode(expr(
       s"""transform(sequence(0, ${M - 1}), mi -> struct(mi AS ms,

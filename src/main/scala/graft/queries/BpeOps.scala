@@ -121,9 +121,11 @@ object BpeOps {
        |  SELECT w, CAST(len(${bpeTokensDuck("w")}) AS BIGINT) AS n_tok
        |  FROM wv)""".stripMargin
 
-  /** Distinct-word BPE token counts: (w, n_tok) — the broadcast map. */
+  /** Distinct-word BPE token counts: (w, n_tok) — the broadcast map.
+    * Few-file straggler guard on the vocab-derivation explode too
+    * (r16; Tables.spreadExplodeInput). */
   def wordBpeCounts(s: SparkSession, d: String): DataFrame =
-    T.documents(s, d)
+    T.spreadExplodeInput(s, T.documents(s, d))
       .select(explode(split(lower(col("text")), " ")).as("w"))
       .filter(col("w") =!= "")
       .distinct()
@@ -134,9 +136,11 @@ object BpeOps {
     */
   def docWordsForTest(s: SparkSession, d: String): DataFrame = docWords(s, d)
 
-  /** Per-doc words (duplicates kept) for the count join. */
+  /** Per-doc words (duplicates kept) for the count join. Few-file
+    * straggler guard before the word explode (r16; pathology at
+    * Tables.spreadExplodeInput) — shared by all four BPE rows. */
   private def docWords(s: SparkSession, d: String): DataFrame =
-    T.documents(s, d)
+    T.spreadExplodeInput(s, T.documents(s, d))
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
       .filter(col("w") =!= "")
 
@@ -241,7 +245,8 @@ object BpeOps {
        |GROUP BY 1
        |ORDER BY doc_id NULLS FIRST""".stripMargin
   ) { (s, d) =>
-    val fullCounts = T.documents(s, d)
+    // few-file straggler guard (r16; Tables.spreadExplodeInput)
+    val fullCounts = T.spreadExplodeInput(s, T.documents(s, d))
       .select(explode(split(lower(col("text")), " ")).as("w"))
       .filter(col("w") =!= "")
       .distinct()
@@ -333,7 +338,9 @@ object BpeOps {
        |GROUP BY 1
        |ORDER BY lang NULLS FIRST""".stripMargin
   ) { (s, d) =>
-    T.documents(s, d)
+    // few-file straggler guard (r16; Tables.spreadExplodeInput); this
+    // row keeps `lang`, so it can't reuse docWords
+    T.spreadExplodeInput(s, T.documents(s, d))
       .select(col("doc_id"), col("lang"),
         explode(split(lower(col("text")), " ")).as("w"))
       .filter(col("w") =!= "")

@@ -79,7 +79,8 @@ object CorpusOps {
       |ORDER BY n DESC, bigram ASC
       |LIMIT 25""".stripMargin
   ) { (s, d) =>
-    T.documents(s, d)
+    // few-file straggler guard (r16; Tables.spreadExplodeInput)
+    T.spreadExplodeInput(s, T.documents(s, d))
       .select(split(lower(col("text")), " ").as("t"))
       .filter(size(col("t")) >= 2)
       .select(explode(expr(
@@ -147,7 +148,8 @@ object CorpusOps {
       |ORDER BY entropy DESC, doc_id ASC
       |LIMIT 25""".stripMargin
   ) { (s, d) =>
-    T.documents(s, d)
+    // few-file straggler guard (r16; Tables.spreadExplodeInput)
+    T.spreadExplodeInput(s, T.documents(s, d))
       .filter(length(col("text")) > 0)
       .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
       .groupBy(col("doc_id"), col("c"))

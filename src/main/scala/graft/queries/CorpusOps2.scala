@@ -45,7 +45,8 @@ object CorpusOps2 {
       |       round(CAST(vocab AS DOUBLE) / CAST(tokens AS DOUBLE), 6) AS ttr
       |FROM agg ORDER BY lang NULLS FIRST""".stripMargin
   ) { (s, d) =>
-    val tok = T.documents(s, d)
+    // few-file straggler guard (r16; Tables.spreadExplodeInput)
+    val tok = T.spreadExplodeInput(s, T.documents(s, d))
       .select(col("lang"), explode(split(lower(col("text")), " ")).as("w"))
     val wc = tok.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
     wc.groupBy(col("lang")).agg(
@@ -90,7 +91,8 @@ object CorpusOps2 {
       |                 / CAST(k AS DOUBLE)), 6) AS heaps_a
       |FROM ols""".stripMargin
   ) { (s, d) =>
-    val tok = T.documents(s, d)
+    // few-file straggler guard (r16; Tables.spreadExplodeInput)
+    val tok = T.spreadExplodeInput(s, T.documents(s, d))
       .select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
     val wc = tok.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
     val pt = wc.groupBy(col("source")).agg(
@@ -148,7 +150,8 @@ object CorpusOps2 {
   ) { (s, d) =>
     val bucket =
       expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 2")
-    val base = T.documents(s, d).select(col("lang"),
+    // few-file straggler guard (r16; Tables.spreadExplodeInput)
+    val base = T.spreadExplodeInput(s, T.documents(s, d)).select(col("lang"),
       split(lower(col("text")), " ").as("t"), bucket.as("b"))
     val bi = base.filter(size(col("t")) >= 2)
       .select(col("lang"), col("b"), explode(expr(
@@ -198,7 +201,8 @@ object CorpusOps2 {
       |FROM top CROSS JOIN nd
       |ORDER BY total DESC, w ASC""".stripMargin
   ) { (s, d) =>
-    val tok = T.documents(s, d)
+    // few-file straggler guard (r16; Tables.spreadExplodeInput)
+    val tok = T.spreadExplodeInput(s, T.documents(s, d))
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
     val dc = tok.groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("c"))
     val wt = dc.groupBy(col("w")).agg(

@@ -40,7 +40,8 @@ object CorpusOps3 {
       |JOIN vs vb ON lang_b = vb.lang
       |ORDER BY lang_a NULLS FIRST, lang_b NULLS FIRST""".stripMargin
   ) { (s, d) =>
-    val voc = T.documents(s, d)
+    // few-file straggler guard (r16; Tables.spreadExplodeInput)
+    val voc = T.spreadExplodeInput(s, T.documents(s, d))
       .select(col("lang"), explode(split(lower(col("text")), " ")).as("w"))
       .distinct()
     val vs = voc.groupBy(col("lang")).agg(count(lit(1)).cast("long").as("v"))

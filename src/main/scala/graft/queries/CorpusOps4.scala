@@ -119,18 +119,11 @@ object CorpusOps4 {
     * TimeQ clear between passes).
     */
   private def pplParts(s: org.apache.spark.sql.SparkSession, d: String) = {
-    // Generator-stage parallelism guard (the Lsh.textProbeTopK /
-    // stats_permutation_test precedent, r15 find): on a FEW-FILE corpus
-    // the two explodes inherit the raw scan's effective partitioning,
-    // and a single parquet file concentrates its row groups in a
-    // handful of byte-range splits — jstack on the r15 sf100 probe
-    // caught ONE task carrying the whole doc-bigram explode's shuffle
-    // write (~3350 s straggler on 32 idle cores). One narrow shuffle of
-    // the raw (doc_id, lang, text) rows spreads the explode; on a
-    // many-file production layout the guard is false and adds nothing.
-    val raw = T.documents(s, d)
-    val para = s.sparkContext.defaultParallelism
-    val docs = if (raw.inputFiles.length < para) raw.repartition(para) else raw
+    // Generator-stage parallelism guard (the r15 find: jstack caught
+    // ONE task carrying the whole doc-bigram explode's shuffle write,
+    // ~3350 s straggler on 32 idle cores at sf100; guarding bought
+    // 3.4×). Shared helper — pathology at Tables.spreadExplodeInput.
+    val docs = T.spreadExplodeInput(s, T.documents(s, d))
     val tok = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"), split(lower(col("text")), " ").as("t"))
     val grams = tok.select(col("doc_id"), col("lang"),
@@ -179,8 +172,21 @@ object CorpusOps4 {
                             types: org.apache.spark.sql.DataFrame,
                             key: String, valCol: String,
                             hot: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
-    val head = types.filter(hot).select(col(key), col(valCol))
-    val tail = types.filter(!hot).select(col(key), col(valCol))
+    // null-SAFE complement split (ADVICE r15): filter(hot)/filter(!hot)
+    // both reject a NULL predicate, which would drop the type row from
+    // BOTH head and tail and silently turn its matches into backoff
+    // misses. `<=> true` and its negation partition ALL rows — NULL
+    // predicates land in the tail — so the helper stays correct for any
+    // caller, not just today's non-null count predicates.
+    val head = types.filter(hot <=> lit(true)).select(col(key), col(valCol))
+    val tail = types.filter(!(hot <=> lit(true))).select(col(key), col(valCol))
+    // `tagged` feeds both union arms unpersisted: the exchanges inside
+    // it (the corpus shuffle, the head broadcast) are computed once and
+    // reused, but post-exchange join+filter work runs twice. At REAL
+    // scale (this path only activates past the 4M-type ceiling) persist
+    // `tagged` so the corpus scans once — the BpeOps.docWordTokensSplit
+    // tradeoff, documented there; at test scale the recompute is
+    // cheaper than the cache fill.
     val tagged = big.join(broadcast(head), Seq(key), "left")
     val hit = tagged.filter(col(valCol).isNotNull)
     val miss = tagged.filter(col(valCol).isNull).drop(valCol)
@@ -214,10 +220,21 @@ object CorpusOps4 {
     val (bd, model, c1, tot) = pplParts(s, d)
     val ceiling = s.conf.getOption("spark.graft.perplexity.broadcastTypeCeiling")
       .map(_.toLong).getOrElse(4000000L)
+    // The measured gate runs a type-count JOB at DataFrame-CONSTRUCTION
+    // time for the declared hotFloor=None entry (ADVICE r15) — amortized
+    // when the query then executes (the model is cached and the scoring
+    // join reads the materialized blocks), but a PLAN-ONLY consumer
+    // (graft.PlanAudit, possibly at a big SF) pays it for nothing.
+    // `skipTypeMeasure=true` skips the job and routes through the SPLIT
+    // path — the conservative shape a past-the-ceiling corpus takes —
+    // so audits inspect the scale plan without executing anything.
+    val skipMeasure = s.conf.getOption("spark.graft.perplexity.skipTypeMeasure")
+      .exists(_.toBoolean)
     val floor = hotFloor.orElse {
-      if (model.count() <= ceiling) None
-      else Some(s.conf.getOption("spark.graft.perplexity.hotFloor")
-        .map(_.toLong).getOrElse(100L))
+      if (skipMeasure || model.count() > ceiling)
+        Some(s.conf.getOption("spark.graft.perplexity.hotFloor")
+          .map(_.toLong).getOrElse(100L))
+      else None
     }
     val modelT = model.select(col("bg"), col("c2"), col("lw_q"))
     val c1w2 = c1.select(col("w").as("w2"), col("c").as("u2"))

@@ -46,7 +46,9 @@ object CurateOps6 {
       |FROM nd GROUP BY doc_id
       |ORDER BY doc_id NULLS FIRST""".stripMargin
   ) { (s, d) =>
-    val toks = T.documents(s, d)
+    // few-file straggler guard BEFORE the split+segment explode (r16;
+    // pathology at Tables.spreadExplodeInput)
+    val toks = T.spreadExplodeInput(s, T.documents(s, d))
       .filter(col("text").isNotNull)
       .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
       .filter(size(col("t")) >= 8)

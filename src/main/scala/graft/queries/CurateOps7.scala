@@ -85,7 +85,9 @@ object CurateOps7 {
       |WHERE len(t.t) >= 13
       |ORDER BY t.doc_id NULLS FIRST""".stripMargin
   ) { (s, d) =>
-    val tok = T.documents(s, d)
+    // few-file straggler guard BEFORE the stride-1 window explode (r16;
+    // pathology at Tables.spreadExplodeInput)
+    val tok = T.spreadExplodeInput(s, T.documents(s, d))
       .filter(col("text").isNotNull)
       .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
       .filter(size(col("t")) >= 13)

@@ -99,7 +99,10 @@ object CurateOps8 {
       |FROM agg
       |ORDER BY lang NULLS FIRST""".stripMargin
   ) { (s, d) =>
-    val tok = T.documents(s, d)
+    // few-file straggler guard BEFORE the unigram+bigram explode (r16;
+    // pathology at Tables.spreadExplodeInput; 20.5 s sf1 — the
+    // third-heaviest document explode on the surface)
+    val tok = T.spreadExplodeInput(s, T.documents(s, d))
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"), split(lower(col("text")), " ").as("t"))
     // one explode carries unigrams AND bigrams (slice-of-sequence guards

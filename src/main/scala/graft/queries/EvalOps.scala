@@ -84,7 +84,8 @@ object EvalOps {
          |ORDER BY k_agree""".stripMargin
     }
   ) { (s, d) =>
-    val sh = T.documents(s, d)
+    // few-file straggler guard (r16; Tables.spreadExplodeInput)
+    val sh = T.spreadExplodeInput(s, T.documents(s, d))
       .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
       .select(col("doc_id"),
         explode(array_distinct(expr(

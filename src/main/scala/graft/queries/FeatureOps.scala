@@ -94,7 +94,8 @@ object FeatureOps {
       |FROM b GROUP BY bucket
       |ORDER BY bucket""".stripMargin
   ) { (s, d) =>
-    T.documents(s, d)
+    // few-file straggler guard (r16; Tables.spreadExplodeInput)
+    T.spreadExplodeInput(s, T.documents(s, d))
       .select(explode(split(lower(col("text")), " ")).as("w"))
       .select(expr("CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT) % 64").as("bucket"),
         col("w"))

@@ -78,7 +78,8 @@ object LlmOps {
       |ORDER BY score DESC, tf.doc_id ASC NULLS FIRST, tf.term ASC NULLS FIRST
       |LIMIT 20""".stripMargin
   ) { (s, d) =>
-    val toks = T.documents(s, d)
+    // few-file straggler guard (r16; Tables.spreadExplodeInput)
+    val toks = T.spreadExplodeInput(s, T.documents(s, d))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))

@@ -362,7 +362,8 @@ object LlmOpsAnalytics {
       |ORDER BY rank NULLS FIRST""".stripMargin
   ) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val tok = T.documents(s, d)
+    // few-file straggler guard (r16; Tables.spreadExplodeInput)
+    val tok = T.spreadExplodeInput(s, T.documents(s, d))
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
     val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
     val scored = tok.join(freq, "t")

@@ -64,7 +64,8 @@ object LlmOpsAnn {
          |ORDER BY cand.a NULLS FIRST, cand.b NULLS FIRST""".stripMargin
     }
   ) { (s, d) =>
-    val sh = T.documents(s, d)
+    // few-file straggler guard (r16; Tables.spreadExplodeInput)
+    val sh = T.spreadExplodeInput(s, T.documents(s, d))
       .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
       .select(col("doc_id"),
         // slice-of-sequence guards the <3-token doc (Spark sequence(1, 0)
@@ -140,7 +141,8 @@ object LlmOpsAnn {
        |GROUP BY 1
        |ORDER BY hamming NULLS FIRST""".stripMargin
   ) { (s, d) =>
-    val codes = T.documents(s, d)
+    // few-file straggler guard (r16; Tables.spreadExplodeInput)
+    val codes = T.spreadExplodeInput(s, T.documents(s, d))
       .filter(col("doc_id") < 1000)
       .select(col("doc_id"),
         explode(array_distinct(split(lower(col("text")), " "))).as("t"))
@@ -192,7 +194,8 @@ object LlmOpsAnn {
        |GROUP BY 1
        |ORDER BY hamming NULLS FIRST""".stripMargin
   ) { (s, d) =>
-    val codes = T.documents(s, d)
+    // few-file straggler guard (r16; Tables.spreadExplodeInput)
+    val codes = T.spreadExplodeInput(s, T.documents(s, d))
       .select(col("doc_id"),
         explode(array_distinct(split(lower(col("text")), " "))).as("t"))
       .select(col("doc_id"),

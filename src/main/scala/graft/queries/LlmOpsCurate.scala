@@ -96,7 +96,8 @@ object LlmOpsCurate {
       |FROM tk, unnest(generate_series(0, (len(t) - 1) // 24)) AS u(i)
       |ORDER BY doc_id NULLS FIRST, chunk_id NULLS FIRST""".stripMargin
   ) { (s, d) =>
-    T.documents(s, d)
+    // few-file straggler guard (r16; Tables.spreadExplodeInput)
+    T.spreadExplodeInput(s, T.documents(s, d))
       .filter(col("doc_id") < 50)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), col("t"),

@@ -116,7 +116,9 @@ object LlmOpsPipeline {
       |ORDER BY status NULLS FIRST""".stripMargin
   ) { (s, d) =>
     val bucket = expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100")
-    val splitDf = T.documents(s, d)
+    // few-file straggler guard BEFORE the split+5-gram explode (r16;
+    // pathology at Tables.spreadExplodeInput)
+    val splitDf = T.spreadExplodeInput(s, T.documents(s, d))
       .select(col("doc_id"),
         when(bucket < 90, "train").otherwise("eval").as("split"),
         split(lower(col("text")), " ").as("t"))
@@ -197,7 +199,10 @@ object LlmOpsPipeline {
     // decision core factored into graft.operators.IncrementalDedup so
     // the cross-batch algebra (accepted docs join the corpus, rejected
     // docs never re-enter) is property-tested in IncrementalDedupSpec
-    val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+    // few-file straggler guard before IncrementalDedup's shingle
+    // explodes (r16; Tables.spreadExplodeInput)
+    val docs = T.spreadExplodeInput(s, T.documents(s, d))
+      .select(col("doc_id"), col("text"))
     graft.operators.IncrementalDedup.matches(
         corpus = docs.filter(col("doc_id") < 250),
         batch = docs.filter(col("doc_id") >= 250),

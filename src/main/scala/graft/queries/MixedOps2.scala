@@ -57,7 +57,7 @@ object MixedOps2 {
     // HOF-hoisting trap; measured 68.9 s → 1.9 s at sf10 for the
     // centroid aggregate). The Generate boundary pins max_abs to one
     // evaluation per vector.
-    val c = T.embeddings(s, d)
+    val c = T.spreadExplodeInput(s, T.embeddings(s, d)) // few-file guard (r16)
       // posexplode would drop null vectors implicitly anyway — make the
       // exclusion explicit and mirrored in the oracle (null-sweep r9)
       .filter(col("embedding").isNotNull)

@@ -34,8 +34,11 @@ object MultimodalDedup {
 
   val multimodalPhashDedup: Q = Q.noOracle("multimodal_phash_dedup") { (s, d) =>
     import s.implicits._
+    // few-file straggler guard: the codec synthesis + dHash is heavy
+    // per-row work downstream of the id scan (r16; Tables.spreadExplodeInput)
     val assets = Multimodal
-      .nearDupImages(s, T.documents(s, d).select(col("doc_id")), "doc_id")
+      .nearDupImages(s,
+        T.spreadExplodeInput(s, T.documents(s, d)).select(col("doc_id")), "doc_id")
       .as[Multimodal.Asset]
     val fp = assets.mapPartitions { it =>
       it.map(a => (a.asset_id, Multimodal.PureCodecs.dHash64(a.content)))
@@ -82,8 +85,10 @@ object MultimodalDedup {
     */
   val multimodalAudiohashDedup: Q = Q.noOracle("multimodal_audiohash_dedup") { (s, d) =>
     import s.implicits._
+    // few-file straggler guard (r16; Tables.spreadExplodeInput)
     val assets = Multimodal
-      .nearDupAudio(s, T.documents(s, d).select(col("doc_id")), "doc_id")
+      .nearDupAudio(s,
+        T.spreadExplodeInput(s, T.documents(s, d)).select(col("doc_id")), "doc_id")
       .as[Multimodal.Asset]
     val fp = assets.mapPartitions { it =>
       it.map(a => (a.asset_id, Multimodal.PureCodecs.audioHash64(a.content)))

@@ -73,7 +73,8 @@ object QualityOps2 {
       |  UNION ALL SELECT 'zz_pass_all', n_pass, n_docs FROM agg)
       |ORDER BY rule NULLS FIRST""".stripMargin
   ) { (s, d) =>
-    val docs = T.documents(s, d)
+    // few-file straggler guard (r16; Tables.spreadExplodeInput)
+    val docs = T.spreadExplodeInput(s, T.documents(s, d))
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("text"), split(lower(col("text")), " ").as("w"))
     val top8 = docs.select(explode(col("w")).as("word"))

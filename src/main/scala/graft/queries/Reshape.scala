@@ -17,7 +17,8 @@ object Reshape {
       |ORDER BY n DESC, word ASC NULLS FIRST
       |LIMIT 20""".stripMargin
   ) { (s, d) =>
-    T.documents(s, d)
+    // few-file straggler guard (r16; Tables.spreadExplodeInput)
+    T.spreadExplodeInput(s, T.documents(s, d))
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("n"))
@@ -198,7 +199,8 @@ object Reshape {
       |LEFT JOIN LATERAL unnest(d.xs) AS t(tok) ON true
       |ORDER BY d.doc_id NULLS FIRST, long_token ASC NULLS FIRST""".stripMargin
   ) { (s, d) =>
-    T.documents(s, d)
+    // few-file straggler guard (r16; Tables.spreadExplodeInput)
+    T.spreadExplodeInput(s, T.documents(s, d))
       .select(col("doc_id"),
         expr("filter(split(text, ' '), x -> length(x) > 12)").as("xs"))
       .select(col("doc_id"), explode_outer(col("xs")).as("long_token"))

@@ -313,7 +313,7 @@ object SegmentOps {
   ) { (s, d) =>
     // one scan: each event explodes into its (open, close) endpoint
     // pair map-side — the UNION ALL form reads the table twice
-    val pts = T.events(s, d)
+    val pts = T.spreadExplodeInput(s, T.events(s, d)) // few-file guard (r16)
       .select(col("event_type"), unix_micros(col("ts")).as("t"), col("event_id"))
       .select(col("event_type"), col("event_id"), explode(array(
         struct(col("t"), lit(1).as("delta")),
@@ -354,7 +354,8 @@ object SegmentOps {
       |         AS zipf_slope
       |FROM r WHERE rnk <= 200 GROUP BY 1 ORDER BY lang NULLS FIRST""".stripMargin
   ) { (s, d) =>
-    val tok = T.documents(s, d)
+    // few-file straggler guard (r16; Tables.spreadExplodeInput)
+    val tok = T.spreadExplodeInput(s, T.documents(s, d))
       .select(col("lang"),
         explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
     val f = tok.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))

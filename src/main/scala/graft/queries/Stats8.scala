@@ -193,13 +193,11 @@ object Stats8 {
         col("c_custkey") === col("o_custkey"))
       .select(col("o_orderkey"), col("is_a"),
         (T.dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
-      // spread the ×65 generator's work BEFORE it inflates: Spark sizes
-      // scan partitions by INPUT bytes, so a compact orders file gives
-      // the explode+md5 stage almost no parallelism (27 s at sf1 on one
-      // task; 3.4 s after). The narrow pre-explode shuffle is trivial
-      // next to the 65× row inflation it parallelizes.
-      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
-    val lab = o
+    // spread the ×65 generator's work BEFORE it inflates (27 s at sf1
+    // on one task; 3.4 s guarded). Shared helper — pathology at
+    // Tables.spreadExplodeInput; a many-file orders layout skips it.
+    val oSpread = T.spreadExplodeInput(s, o)
+    val lab = oSpread
       .select(col("o_orderkey"), col("is_a"), col("cents"),
         explode(expr("sequence(0L, 64L)")).as("b"))
       .select(col("b"), col("cents"),

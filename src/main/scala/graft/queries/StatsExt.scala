@@ -46,7 +46,8 @@ object StatsExt {
       |WHERE tf.doc_id <= 50
       |ORDER BY doc_id, term""".stripMargin
   ) { (s, d) =>
-    val toks = T.documents(s, d)
+    // few-file straggler guard (r16; Tables.spreadExplodeInput)
+    val toks = T.spreadExplodeInput(s, T.documents(s, d))
       .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
     val doclen = toks.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
     val glob = doclen.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))

@@ -188,7 +188,10 @@ object StatsOps {
     // the start — O(i) per call, O(len²) per doc. Split once (code-point
     // array, BMP-safe per the text_entropy/text_langid precedent), then
     // O(1) element_at lookups: the explode pass drops ~3.5 s → ~0.4 s.
-    val bi = docs
+    // few-file straggler guard BEFORE the char-split + bigram explode
+    // (r16; pathology at Tables.spreadExplodeInput). Only the explode
+    // branch is spread — `tot` stays a bare map-side scan.
+    val bi = T.spreadExplodeInput(s, docs)
       .withColumn("arr", split(col("text"), ""))
       .select(col("doc_id"),
         explode(expr(
