@@ -100,4 +100,34 @@ class SpreadGuardSpec extends SparkSpec {
       assert(bad.isEmpty, s"concentrated explode inputs:\n${bad.mkString("\n")}")
     }
   }
+
+  test("WHOLE-SURFACE gate: no declared query feeds a corpus-sized generator from one partition") {
+    // the r16 genhealth sweep as a suite gate, so a FUTURE unguarded
+    // explode fails here instead of waiting for the per-round CLI
+    // audit. Threshold: a generator input holding ≥ 400 rows at
+    // sf0.001 is corpus-proportional (full documents = 500, events =
+    // 1000, embeddings = 500; every bounded-by-construction generate —
+    // probe sets, literal sequences, calendar grids, dim tables — is
+    // ≤ 256). Concentration = all of it on ONE partition. The post-
+    // sweep expected set is EMPTY; any hit names a new unguarded row.
+    withAqeOff {
+      spark.catalog.clearCache()
+      val offenders = SparkEntry.declared.flatMap { q =>
+        val lines =
+          try PlanWalk.generateInputPartitionHealth(q.fn(spark, sf()))
+          catch { case e: Throwable => Seq(s"HEALTH-FAILED ${e.getMessage}") }
+        lines.flatMap { l =>
+          if (l.startsWith("HEALTH-FAILED")) Some(s"${q.name}: $l")
+          else {
+            val kv = "(\\w+)=(\\d+)".r.findAllMatchIn(l)
+              .map(m => m.group(1) -> m.group(2).toLong).toMap
+            if (kv("total") >= 400L && kv("nonEmpty") <= 1L) Some(s"${q.name}: $l")
+            else None
+          }
+        }
+      }
+      assert(offenders.isEmpty,
+        s"corpus-sized one-partition generator inputs:\n${offenders.mkString("\n")}")
+    }
+  }
 }
