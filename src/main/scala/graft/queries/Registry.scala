@@ -26,7 +26,8 @@ object Registry {
         SurfaceOps4.all ++ NoOracle5.all ++ TimeSeriesOps6.all ++ EvalOps.all ++
         BpeOps.all ++ HtmlOps.all ++ MultimodalDedup.all ++ TimeTravel.all ++ AnnIvfPq.all ++
         CurateOps6.all ++ GraphQ4.all ++ CurateOps7.all ++ QualityOps2.all ++ GraphQ5.all ++
-        CurateOps8.all ++ CorpusOps4.all ++ Stats8.all
+        CurateOps8.all ++ CorpusOps4.all ++ Stats8.all ++
+        CurateOps9.all ++ RetrievalOps.all ++ CorpusOps5.all
     // a duplicate key would silently shadow a query in SparkEntry's Map
     val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
     require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")

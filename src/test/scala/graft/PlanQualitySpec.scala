@@ -75,7 +75,8 @@ class PlanQualitySpec extends SparkSpec {
     "dedup_semdedup"      -> 12, // 1-row k cross + min(√n,256)-row centroid assignment crosses (ann_ivf_* shape); the within-cluster pair join stays an EQUI-join on cent_id — a 13th node is a regression
     "dedup_semdedup_capped" -> 15, // same k + assignment crosses + the ≤256-row centroid re-attach for ccos ranking; the pair join is an equi-join on (cent_id, bkt)
     "quality_gopher_rules" -> 1, // 1-row top-8 stopword list crossed into the per-doc rule projection
-    "text_perplexity_sb"  -> 1) // 1-row (N1, V) en-slice totals crossed into the bigram-type model
+    "text_perplexity_sb"  -> 1, // 1-row (N1, V) en-slice totals crossed into the bigram-type model
+    "rank_fusion_rrf"     -> 2) // 1-row BM25 corpus aggregate + 1-row query-vector crosses (text_bm25 / sim shape)
     // join_null_safe needs no excuse: EqualNullSafe is a hash-joinable key (BroadcastHashJoin verified)
     // dedup_embedding was allowlisted through r2 (all-pairs BNLJ); it is
     // now banded sign-LSH with an equi-join — no cross join to excuse
@@ -117,6 +118,7 @@ class PlanQualitySpec extends SparkSpec {
     "stats_ks"            -> 1, // binned-cumulative prefix over the cents-domain bin table
     "stats_mann_whitney"  -> 1, // binned-cumulative prefix over the cents-domain bin table
     "stats_permutation_test" -> 1, // observed-row attach over the 65-ROW replicate aggregate (constant R)
+    "rank_fusion_rrf"     -> 2, // row_number over the two TakeOrdered(100) retriever shortlists (eval_ndcg_rankshift device)
     "stats_runs_test"     -> 2, // lag over the CALENDAR-BOUNDED daily aggregate (≤ |days|)
     "stats_spearman"      -> 2, // binned-cumulative prefix over the two cents-domain bin tables (qv ≤ 1, pv ≤ ~11 bins)
     "stats_wilcoxon"      -> 1, // rank prefix over distinct |daily diff| values (≤ |days|)
@@ -150,6 +152,7 @@ class PlanQualitySpec extends SparkSpec {
     "stats_ks"            -> 200L,   // cents-domain bins
     "stats_mann_whitney"  -> 200L,   // cents-domain bins
     "stats_permutation_test" -> 65L, // the replicate table: R+1 rows — exact
+    "rank_fusion_rrf"     -> 100L,   // TakeOrdered(100) feeds both rank windows — exact
     "stats_runs_test"     -> 60L,    // calendar days of the fixture month
     "stats_spearman"      -> 50L,    // two cents-domain bin tables
     "stats_wilcoxon"      -> 60L,    // distinct |daily diff| values ≤ |days|
