@@ -80,22 +80,29 @@ object CurateOps2 {
       .groupBy(window(col("ts"), "1 minute").as("w"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("w_start"), col("n"))
-    val q = agg.writeStream.format("memory").queryName(s"b24_$token")
-      .outputMode("append")
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory(s"graft_b24_$token").toString)
-      .start()
-    try {
-      // batch 1: 20 on-time rows in window [0, 60)
-      mem.addData((1L to 20L).map(i => (i, i % 60)))
-      q.processAllAvailable()
-      // batch 2: watermark jumps to 590s; window [0,60) closes and emits
-      mem.addData(Seq((100L, 600L)))
-      q.processAllAvailable()
-      // batch 3: 7 rows at 30s — far behind the watermark, must drop
-      mem.addData((200L to 206L).map(i => (i, 30L)))
-      q.processAllAvailable()
-    } finally q.stop()
+    // 28-row feed → 1 state partition (scale-adaptive; see
+    // StreamOps.withStatePartitions — 3 stateful batches at the batch
+    // session's partition count paid ~96 state-store commits for 2
+    // state rows)
+    val q = graft.streaming.StreamOps.withStatePartitions(s, 28L) {
+      val q0 = agg.writeStream.format("memory").queryName(s"b24_$token")
+        .outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(s"graft_b24_$token").toString)
+        .start()
+      try {
+        // batch 1: 20 on-time rows in window [0, 60)
+        mem.addData((1L to 20L).map(i => (i, i % 60)))
+        q0.processAllAvailable()
+        // batch 2: watermark jumps to 590s; window [0,60) closes and emits
+        mem.addData(Seq((100L, 600L)))
+        q0.processAllAvailable()
+        // batch 3: 7 rows at 30s — far behind the watermark, must drop
+        mem.addData((200L to 206L).map(i => (i, 30L)))
+        q0.processAllAvailable()
+      } finally q0.stop()
+      q0
+    }
     val emitted = s.table(s"b24_$token").collect()
       .map(r => (r.getTimestamp(0).getTime / 1000L, r.getLong(1))).sortBy(_._1)
     val dropped = q.recentProgress

@@ -67,22 +67,25 @@ object NoOracle2 {
     else {
       val ests = qs.map(q => merged.getQuantile(q, QuantileSearchCriteria.INCLUSIVE))
       val errBound = merged.getNormalizedRankError(false)
-      // exact ranks of the estimates + exact disc quantiles, one pass each
-      val rankAgg = cents.agg(
-        count(lit(1)).as("n"),
-        ests.zipWithIndex.map { case (e, i) =>
-          sum(when(col("cents") <= lit(e.toLong), 1L).otherwise(0L)).as(s"le$i")
-        }: _*).collect().head
-      val n = rankAgg.getLong(0)
+      // exact ranks of the estimates + exact disc quantiles in ONE
+      // aggregation pass over cents (r16, guide §1.2 "don't compute
+      // things twice": these were two separate full-scan jobs; the
+      // aggregate is the same either way, so the merged pass returns
+      // identical values)
+      val rankCols = ests.zipWithIndex.map { case (e, i) =>
+        sum(when(col("cents") <= lit(e.toLong), 1L).otherwise(0L)).as(s"le$i")
+      }
       val exactCols = qs.zipWithIndex.map { case (q, i) =>
         expr(s"CAST(percentile_disc($q) WITHIN GROUP (ORDER BY cents) AS BIGINT)")
           .as(s"ex$i")
       }
-      val exact = cents.agg(exactCols.head, exactCols.tail: _*).collect().head
+      val agg = cents.agg(count(lit(1)).as("n"),
+        (rankCols ++ exactCols): _*).collect().head
+      val n = agg.getLong(0)
       qs.zipWithIndex.map { case (q, i) =>
         val est = ests(i).toLong
-        val trueRank = rankAgg.getLong(i + 1).toDouble / n.toDouble
-        (q, n, exact.getLong(i), est,
+        val trueRank = agg.getLong(i + 1).toDouble / n.toDouble
+        (q, n, agg.getLong(qs.size + i + 1), est,
           math.abs(trueRank - q),
           math.abs(trueRank - q) <= 3.0 * errBound)
       }

@@ -52,19 +52,29 @@ object NoOracle3 {
     try {
       val probed = batch.withColumn("cand", might(col("o_custkey"))).cache()
       try {
-        val batchN = probed.count()
-        // ground truth: which batch keys really are in history
+        // ground truth: which batch keys really are in history. history
+        // keys are distinct, so the left join is multiplicity-1 and
+        // count(truth) == count(probed); all five truth-side counters
+        // fold into ONE aggregation job (r16, guide §1.2 — these were
+        // five separate count() jobs re-walking the cached join)
         val truth = probed.join(history.withColumn("in_hist", lit(true)),
           Seq("o_custkey"), "left")
           .select(col("o_custkey"), col("cand"),
             coalesce(col("in_hist"), lit(false)).as("in_hist"))
-        val falseNeg = truth.filter(col("in_hist") && !col("cand")).count()
-        val trulyNew = truth.filter(!col("in_hist")).count()
-        val falsePos = truth.filter(col("cand") && !col("in_hist")).count()
+        val tRow = truth.agg(
+          count(lit(1)).as("batch_n"),
+          sum(when(col("in_hist") && !col("cand"), 1L).otherwise(0L)).as("fn"),
+          sum(when(!col("in_hist"), 1L).otherwise(0L)).as("tn"),
+          sum(when(col("cand") && !col("in_hist"), 1L).otherwise(0L)).as("fp"),
+          sum(when(!col("cand"), 1L).otherwise(0L)).as("neg")).collect().head
+        val batchN = tRow.getLong(0)
+        val falseNeg = tRow.getLong(1)
+        val trulyNew = tRow.getLong(2)
+        val falsePos = tRow.getLong(3)
         // prefilter path: bloom-negatives are new for free; candidates
         // verified by the exact anti-join (history side only sees them)
         val candKeys = probed.filter(col("cand")).select(col("o_custkey"))
-        val newViaPath = probed.filter(!col("cand")).count() +
+        val newViaPath = tRow.getLong(4) +
           candKeys.join(history, Seq("o_custkey"), "left_anti").count()
         val fpRate = if (trulyNew == 0) 0.0 else falsePos.toDouble / trulyNew.toDouble
         Seq((histN, batchN, trulyNew, falseNeg, falsePos,

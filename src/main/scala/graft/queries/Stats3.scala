@@ -434,12 +434,17 @@ object Stats3 {
     val batches = Seq(slice.take(half), slice ++ slice.take(half), slice)
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.GEvent]
     val sink = s"b9_dedup_$token"
-    val q = graft.streaming.StreamOps
-      .dedupWithinWatermark(mem.toDF(), watermark = "3650 days")
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
-    try batches.foreach { b => mem.addData(b); q.processAllAvailable() }
-    finally q.stop()
+    // state partitions sized to the ≤O(2k)-row feed (see
+    // StreamOps.withStatePartitions): 3 stateful batches × the batch
+    // session's partition count was pure checkpoint overhead here
+    graft.streaming.StreamOps.withStatePartitions(s, slice.length.toLong) {
+      val q = graft.streaming.StreamOps
+        .dedupWithinWatermark(mem.toDF(), watermark = "3650 days")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      finally q.stop()
+    }
     val emitted = s.table(sink).count()
     val sent = batches.map(_.size.toLong).sum
     Seq((sent, slice.length.toLong, emitted, emitted == slice.length.toLong))

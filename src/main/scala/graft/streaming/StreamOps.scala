@@ -25,6 +25,35 @@ case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
   */
 object StreamOps {
 
+  /** Scale-adaptive STATE-PARTITION sizing for the streaming harness
+    * rows (r16, guide §2.2/§6): a stateful micro-batch creates one
+    * state-store instance per `spark.sql.shuffle.partitions` and pays
+    * one delta-file write + commit per instance per batch — a
+    * per-batch cost proportional to the PARTITION COUNT, not the data.
+    * The harness rows feed O(10)–O(thousands) driver-side rows by
+    * construction (their slices are corpus-capped — the b13 sizing
+    * argument), so inheriting the batch session's partition count
+    * (sized for corpus-proportional shuffles) multiplies checkpoint
+    * I/O by ~32× for state that fits in one partition: measured at
+    * sf0.1, b24 5.29 s → 2.45 s and b9_stream_dedup 4.31 s → 2.29 s
+    * median-of-3 from this sizing alone. A real 100 TB stream sizes
+    * state partitions to state volume the same way — the formula
+    * below derives from feed size (≈2k state rows per partition,
+    * capped at the session's parallelism) and hard-codes nothing
+    * about this box. The conf is restored in `finally`; the partition
+    * count is pinned per checkpoint at first start, so both runs of a
+    * restart row see the same value by construction.
+    */
+  def withStatePartitions[A](s: org.apache.spark.sql.SparkSession,
+                             feedRows: Long)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    val n = math.max(1L,
+      math.min(s.sparkContext.defaultParallelism.toLong, feedRows / 2048L + 1L))
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** B7: tumbling 1-hour counts per event_type with a watermark. */
   def tumblingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events
@@ -197,11 +226,13 @@ object StreamOps {
         .outputMode("complete").option("checkpointLocation", ckpt).start()
       try { q.processAllAvailable() } finally { q.stop() }
     }
-    mem.addData(h1.toIndexedSeq)
-    runOnce(s"b13_${token}_run1")
-    // the restart: new query object, same checkpoint, only NEW data added
-    mem.addData(h2.toIndexedSeq)
-    runOnce(s"b13_${token}_run2")
+    withStatePartitions(s, slice.length.toLong) {
+      mem.addData(h1.toIndexedSeq)
+      runOnce(s"b13_${token}_run1")
+      // the restart: new query object, same checkpoint, only NEW data added
+      mem.addData(h2.toIndexedSeq)
+      runOnce(s"b13_${token}_run2")
+    }
     val stream = s.table(s"b13_${token}_run2")
     val batch = slice.toIndexedSeq.toDF("event_id", "event_type")
       .groupBy(col("event_type")).agg(count(lit(1)).as("n_batch"))
@@ -270,10 +301,13 @@ object StreamOps {
           Thread.sleep(20)
         q.runId
       }
-      mem.addData(h1.toIndexedSeq)
-      val run1 = runOnce(s"b35_${token}_run1")
-      mem.addData(h2.toIndexedSeq)
-      val run2 = runOnce(s"b35_${token}_run2")
+      val (run1, run2) = withStatePartitions(s, slice.length.toLong) {
+        mem.addData(h1.toIndexedSeq)
+        val r1 = runOnce(s"b35_${token}_run1")
+        mem.addData(h2.toIndexedSeq)
+        val r2 = runOnce(s"b35_${token}_run2")
+        (r1, r2)
+      }
       def fold(phase: String, runId: java.util.UUID, expRows: Long, expState: Long) = {
         val ps = Option(progresses.get(runId)).map(_.toSeq).getOrElse(Seq.empty)
         val stateMax = ps.flatMap(_.stateOperators.toSeq.map(_.numRowsTotal))
@@ -354,21 +388,27 @@ object StreamOps {
       val q = upserts.start()
       try { q.processAllAvailable() } finally { q.stop() }
     }
-    mem.addData(h1.toIndexedSeq)
-    runOnce()
-    val audit1 = graft.ingest.LoadAudit.audit(s.read.parquet(lake))
-    // checkpoint rollback: offsets/0 stays, commits/0 goes — the state
-    // a crash between sink write and commit record leaves behind
-    val removed = new java.io.File(s"$ckpt/commits/0").delete()
-    require(removed, s"commit log entry missing at $ckpt/commits/0")
-    // the local FS keeps a checksum sidecar next to the entry; the
-    // re-commit's rename refuses to overwrite it if left behind
-    new java.io.File(s"$ckpt/commits/.0.crc").delete()
-    runOnce() // re-executes batch 0 with identical data
-    val audit2 = graft.ingest.LoadAudit.audit(s.read.parquet(lake))
-    mem.addData(h2.toIndexedSeq)
-    runOnce() // and the stream continues normally past the replay
-    val audit3 = graft.ingest.LoadAudit.audit(s.read.parquet(lake))
+    // state partitions sized to the feed — also right-sizes the
+    // foreachBatch Upsert.merge's shuffle (and thus the lake's file
+    // count: guide §6 small-files) for the O(thousands)-row harness
+    val (audit1, audit2, audit3) = withStatePartitions(s, slice.length.toLong) {
+      mem.addData(h1.toIndexedSeq)
+      runOnce()
+      val a1 = graft.ingest.LoadAudit.audit(s.read.parquet(lake))
+      // checkpoint rollback: offsets/0 stays, commits/0 goes — the state
+      // a crash between sink write and commit record leaves behind
+      val removed = new java.io.File(s"$ckpt/commits/0").delete()
+      require(removed, s"commit log entry missing at $ckpt/commits/0")
+      // the local FS keeps a checksum sidecar next to the entry; the
+      // re-commit's rename refuses to overwrite it if left behind
+      new java.io.File(s"$ckpt/commits/.0.crc").delete()
+      runOnce() // re-executes batch 0 with identical data
+      val a2 = graft.ingest.LoadAudit.audit(s.read.parquet(lake))
+      mem.addData(h2.toIndexedSeq)
+      runOnce() // and the stream continues normally past the replay
+      val a3 = graft.ingest.LoadAudit.audit(s.read.parquet(lake))
+      (a1, a2, a3)
+    }
     val expectedFinal = slice.length.toLong // event_id is unique per row
     Seq(
       ("run1_committed", audit1.nRows, audit1.checksum,
@@ -459,17 +499,21 @@ object StreamOps {
         true
       } finally q.stop()
     }
-    midWriteFault.set(false)
-    mem.addData(h1.toIndexedSeq)
-    require(!runOnce(), "seed batch must commit cleanly")
-    val audit1 = graft.ingest.LoadAudit.audit(s.read.parquet(lake))
-    midWriteFault.set(true) // arm: next batch dies mid-staged-write
-    mem.addData(h2.toIndexedSeq)
-    val crashed = runOnce()
-    val audit2 = graft.ingest.LoadAudit.audit(s.read.parquet(lake))
-    midWriteFault.set(false) // writer "restarts" healthy
-    require(!runOnce(), "replay after disarm must commit cleanly")
-    val audit3 = graft.ingest.LoadAudit.audit(s.read.parquet(lake))
+    val (audit1, crashed, audit2, audit3) =
+      withStatePartitions(s, slice.length.toLong) {
+        midWriteFault.set(false)
+        mem.addData(h1.toIndexedSeq)
+        require(!runOnce(), "seed batch must commit cleanly")
+        val a1 = graft.ingest.LoadAudit.audit(s.read.parquet(lake))
+        midWriteFault.set(true) // arm: next batch dies mid-staged-write
+        mem.addData(h2.toIndexedSeq)
+        val cr = runOnce()
+        val a2 = graft.ingest.LoadAudit.audit(s.read.parquet(lake))
+        midWriteFault.set(false) // writer "restarts" healthy
+        require(!runOnce(), "replay after disarm must commit cleanly")
+        val a3 = graft.ingest.LoadAudit.audit(s.read.parquet(lake))
+        (a1, cr, a2, a3)
+      }
     Seq(
       ("seed_committed", audit1.nRows, audit1.checksum,
         audit1.nRows == h1.length.toLong),
