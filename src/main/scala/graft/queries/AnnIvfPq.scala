@@ -146,6 +146,11 @@ object AnnIvfPq {
     val subExplode = explode(expr(
       s"""transform(sequence(0, ${M - 1}), mi -> struct(mi AS ms,
          |  slice(rv, mi*$SUB + 1, $SUB) AS sv))""".stripMargin)).as("st")
+    // (r16 note: caching `subs` here was tried and REVERTED — the
+    // InMemoryRelation materialization of the 8-rows/vector subvector
+    // frame cost more than the recomputed lineage it saved at every
+    // tested size; the win that stuck is dropping enc's assign re-join
+    // below.)
     val subs = e.join(assign, "vec_id")
       .join(broadcast(cent), "cent_id")
       .withColumn("rv", resid)
@@ -162,12 +167,14 @@ object AnnIvfPq {
     val bestD = subs.join(broadcast(codebook), col("ms") === col("cms"))
       .groupBy(col("vec_id"), col("ms"))
       .agg(min(l2).as("best_d"))
+    // cent_id is functionally determined by vec_id, so grouping by it
+    // too yields identical groups — and spares the old `.join(assign)`
+    // here, which re-ran the n×k argmax a further two passes (r16)
     val enc = subs.join(bestD, Seq("vec_id", "ms"))
       .join(broadcast(codebook), col("ms") === col("cms"))
       .filter(l2 === col("best_d"))
-      .groupBy(col("vec_id"), col("ms"))
+      .groupBy(col("vec_id"), col("cent_id"), col("ms"))
       .agg(min(col("j")).as("code"))
-      .join(assign, "vec_id")
     val cosAssign = LlmOpsAnn.cosCol("embedding", "c_emb")
     val wProbe = Window.partitionBy(col("vec_id"))
       .orderBy(cosAssign.desc, col("cent_id").asc)

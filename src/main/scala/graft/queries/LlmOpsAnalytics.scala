@@ -248,20 +248,37 @@ object LlmOpsAnalytics {
       |FROM lab GROUP BY l
       |ORDER BY cluster_id""".stripMargin
   ) { (s, d) =>
-    val tk = T.documents(s, d)
+    // r16 (guide §2.4, remove shuffles outright): the two band keys are
+    // just min/max of the per-doc shingle codes — invariant to shingle
+    // DUPLICATES — so the old `.distinct()` (a full exchange of every
+    // (doc_id, code) shingle row, the largest intermediate in the
+    // query) bought nothing, and the separate documents ⋈ bands
+    // left-join existed only to resurrect shingle-less docs.
+    // explode_outer keeps those docs as a single NULL-shingle row
+    // instead (md5(NULL) → NULL code, min/max skip NULLs → NULL → the
+    // same -doc_id-1 sentinel the join's NULL produced), so the whole
+    // band derivation is now explode + ONE map-side-combinable min/max
+    // aggregation: 3 corpus-sized exchanges + a join → 1 exchange
+    // carrying one row per (doc, partition). md5/conv stay OUTSIDE the
+    // lambda (codegen — an in-lambda variant was measured 2× slower,
+    // interpreted). Results identical (oracle re-pass; the oracle keeps
+    // its DISTINCT form, which min/max make semantically irrelevant).
+    // (Guard parity: like the shape it replaces, this explode runs
+    // unguarded — adding spreadExplodeInput here was measured to cost
+    // ~25% at sf0.1 because it shuffles the text payload; the map-side
+    // min/max combine keeps the post-explode shuffle at ≤1 row per
+    // doc per partition either way.)
+    val base = T.documents(s, d)
       .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
-    val sh = tk.select(col("doc_id"),
-      explode(expr(
-        """transform(slice(sequence(1, greatest(size(t) - 2, 1)), 1, greatest(size(t) - 2, 0)),
-           i -> concat_ws(' ', element_at(t, i), element_at(t, i+1), element_at(t, i+2)))"""
-      )).as("sStr"))
+      .select(col("doc_id"),
+        explode_outer(expr(
+          """transform(slice(sequence(1, greatest(size(t) - 2, 1)), 1, greatest(size(t) - 2, 0)),
+             i -> concat_ws(' ', element_at(t, i), element_at(t, i+1), element_at(t, i+2)))"""
+        )).as("sStr"))
       .select(col("doc_id"),
         expr("CAST(conv(substring(md5(sStr), 1, 15), 16, 10) AS BIGINT)").as("s"))
-      .distinct()
-    val bands = sh.groupBy(col("doc_id").as("bid"))
+      .groupBy(col("doc_id"))
       .agg(min(col("s")).as("mb1"), max(col("s")).as("mb2"))
-    val base = T.documents(s, d).select(col("doc_id"))
-      .join(bands, col("doc_id") === col("bid"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("mb1"), -col("doc_id") - 1).as("b1"),
         coalesce(col("mb2"), -col("doc_id") - 1).as("b2"))
@@ -275,7 +292,14 @@ object LlmOpsAnalytics {
       .filter(col("doc_id") =!= col("r"))
       .select(col("doc_id").as("a"), col("r").as("b"))
     val cc = graft.operators.GraphOps.starContract(edges)
-    base.select(col("doc_id"))
+    // final labeling joins against the bare doc_id scan, NOT `base`:
+    // base has exactly one row per doc (groupBy doc_id over the
+    // outer-explode covers every document), so the row set is
+    // identical, and the final plan keeps no Generate — the band
+    // explode runs only inside starContract's eagerly-checkpointed
+    // edge derivation (also what the SpreadGuard whole-surface gate
+    // sees; the r16 shape regressed this before the fix)
+    T.documents(s, d).select(col("doc_id"))
       .join(cc.labels, col("doc_id") === col("node"), "left_outer")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("l"))
       .groupBy(col("l").as("cluster_id"))

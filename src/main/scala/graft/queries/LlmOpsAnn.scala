@@ -14,6 +14,26 @@ import graft.{Q, Tables => T}
 object LlmOpsAnn {
 
   private val P = 2147483647L // 2^31 − 1
+
+  /** SimHash fingerprints from (doc_id, h) token-code rows in ONE
+    * grouped pass (r16): the 32 per-bit ±1 balances are 32 aggregate
+    * columns over the token codes (map-side combinable), and the
+    * fingerprint folds them as Σ 2^j·[bal_j > 0] — replacing the old
+    * 32× per-bit row explode + (doc_id, j) + doc_id double
+    * aggregation with zero row inflation and a single exchange.
+    * Identical values: bal_j and the fold are the same arithmetic.
+    */
+  private def simhashFp(codes: DataFrame): DataFrame = {
+    val balCols = (0 until 32).map { j =>
+      sum(when(expr(s"(h >> $j) & 1") === 1, 1).otherwise(-1)).as(s"bal$j")
+    }
+    codes.groupBy(col("doc_id"))
+      .agg(balCols.head, balCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map { j =>
+          when(col(s"bal$j") > 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _).as("simhash"))
+  }
   private val HASH_AB = Seq(
     (1299721L, 11L), (1299833L, 37L), (1300021L, 101L), (1300033L, 223L),
     (1300109L, 499L), (1300211L, 997L), (1300309L, 2003L), (1300427L, 4999L))
@@ -148,13 +168,13 @@ object LlmOpsAnn {
         explode(array_distinct(split(lower(col("text")), " "))).as("t"))
       .select(col("doc_id"),
         expr("CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)").as("h"))
-    val bits = codes
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("j"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(when(expr("(h >> j) & 1") === 1, 1).otherwise(-1)).as("bal"))
-    val fp = bits.groupBy(col("doc_id"))
-      .agg(sum(when(col("bal") > 0, expr("CAST(shiftleft(CAST(1 AS BIGINT), j) AS BIGINT)"))
-        .otherwise(0L)).as("simhash"))
+    // r16 (guide §2.3, shuffle fewer bytes): the old shape exploded
+    // every token-code row 32× (one row per bit) and aggregated twice
+    // (doc_id,j → doc_id). The 32 per-bit balances fit in one grouped
+    // pass as 32 aggregate columns — no row inflation, ONE exchange —
+    // and the fingerprint is the same Σ 2^j·[bal_j > 0] fold, so
+    // results are identical (oracle re-pass).
+    val fp = simhashFp(codes)
     fp.select(col("simhash").as("x_simhash"), col("doc_id").as("a"))
       .join(fp.select(col("simhash").as("y_simhash"), col("doc_id").as("b")),
         col("a") < col("b"))
@@ -200,13 +220,9 @@ object LlmOpsAnn {
         explode(array_distinct(split(lower(col("text")), " "))).as("t"))
       .select(col("doc_id"),
         expr("CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)").as("h"))
-    val bits = codes
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("j"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(when(expr("(h >> j) & 1") === 1, 1).otherwise(-1)).as("bal"))
-    val fp = bits.groupBy(col("doc_id"))
-      .agg(sum(when(col("bal") > 0, expr("CAST(shiftleft(CAST(1 AS BIGINT), j) AS BIGINT)"))
-        .otherwise(0L)).as("simhash"))
+    // single-pass 32-column balance aggregation (see dedup_simhash —
+    // r16; replaces the 32× bit explode + two-level aggregation)
+    val fp = simhashFp(codes)
       // rows are already unique per doc_id; the distinct() exists to
       // materialize ONE exchange reused by the band explode and both
       // verify sides (same trick as dedup_ngram_jaccard)

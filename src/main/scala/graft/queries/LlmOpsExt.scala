@@ -193,20 +193,35 @@ object LlmOpsExt {
       when(VectorOps.dot(col("embedding"), typedLit(hyperplane(j))) >= 0, lit(1L << j))
         .otherwise(lit(0L))
     }.reduce(_ + _)
-    val sig = aug.select(col("vec_id"), col("embedding"), fp.as("fp"))
+    // r16 (guide §8 / §2.3): the band self-join used to carry the
+    // 64-float embedding through BOTH sides of the 7-way band explode
+    // (≈14 corpus-widths of payload through the exchange) and, worse,
+    // re-evaluated the 63-kernel fingerprint once per join side. Now
+    // the 16-byte (vec_id, fp) signature is computed ONCE (cached —
+    // two longs per row; Bench clears caches between passes), the
+    // band join moves only metadata, and raw embeddings are attached
+    // by equi-join ONLY to the surviving candidate pairs — the
+    // decide-on-proxy / move-payload-once shape. Same pairs, same
+    // cosines (the kernels are deterministic), so results are
+    // unchanged (oracle re-pass).
+    val sig = aug.select(col("vec_id"), fp.as("fp")).cache()
     val bands = sig
-      .select(col("vec_id"), col("embedding"), col("fp"),
+      .select(col("vec_id"), col("fp"),
         explode(sequence(lit(0), lit(6))).as("band"))
       .withColumn("k", expr("(fp >> (9 * band)) & 511"))
-    val cos = VectorOps.dot(col("x.embedding"), col("y.embedding")) /
-      (sqrt(VectorOps.ssq(col("x.embedding"))) * sqrt(VectorOps.ssq(col("y.embedding"))))
-    bands.as("x").join(bands.as("y"),
+    val candIds = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.k") === col("y.k")
           && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
-        expr("bit_count(x.fp ^ y.fp)").as("hamming"), cos.as("c"))
+        expr("bit_count(x.fp ^ y.fp)").as("hamming"))
       .filter(col("hamming") <= 6)
       .distinct()
+    val cos = VectorOps.dot(col("a_emb"), col("b_emb")) /
+      (sqrt(VectorOps.ssq(col("a_emb"))) * sqrt(VectorOps.ssq(col("b_emb"))))
+    candIds
+      .join(aug.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")), "a_id")
+      .join(aug.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")), "b_id")
+      .select(col("hamming"), cos.as("c"))
       .groupBy(col("hamming"))
       .agg(count(lit(1)).as("n_pairs"),
         round(min(col("c")), 6).as("min_cos"), round(max(col("c")), 6).as("max_cos"))

@@ -49,10 +49,13 @@ object NoOracle5 {
     // the bloom (measured — the differential vanished); interior keys
     // are inside EVERY shuffled file's stats range, so only the bloom
     // can prune them
+    // n_total rides the same aggregation job as the probe-key
+    // percentiles (r16, guide §1.2 — it was a separate full count()
+    // at the end of the row)
     val mm = o.agg(
       expr("CAST(percentile_disc(0.33) WITHIN GROUP (ORDER BY o_orderkey) AS BIGINT)"),
       expr("CAST(percentile_disc(0.67) WITHIN GROUP (ORDER BY o_orderkey) AS BIGINT)"),
-      max(col("o_orderkey"))).collect().head
+      max(col("o_orderkey")), count(lit(1))).collect().head
     val keys: Seq[Long] =
       if (mm.isNullAt(0)) Seq(1L)
       else Seq(mm.getLong(0), mm.getLong(1), mm.getLong(2) + 7, mm.getLong(2) + 13)
@@ -74,7 +77,7 @@ object NoOracle5 {
     }
     val (nB, kB, readB) = probe("bloom")
     val (nP, kP, readP) = probe("plain")
-    Seq((o.count(), nB, readB, readP,
+    Seq((mm.getLong(3), nB, readB, readP,
       nB == nP && kB == kP,
       // bloom must at least halve the decoded rows (measured 4×)
       nB == nP && kB == kP && (readB * 2 <= readP || (nB == 0 && readB == 0))))

@@ -22,8 +22,8 @@ class PlanQualitySpec extends SparkSpec {
     "ann_ivf_topk"        -> 4, // 16-row centroid assignment crosses
     "ann_ivf_nprobe"      -> 6, // √n-row centroid assignment crosses
     "ann_ivf_kmeans"      -> 3, // √n-row centroid assignment crosses (Lloyd-refined)
-    "ann_ivf_pq"          -> 34, // min(√n,256)-row coarse + 4×16-row PQ codebook assignment crosses (IVFPQ)
-    "ann_ivf_pq_rerank"   -> 34, // same IVFPQ pipeline feeding the exact re-rank
+    "ann_ivf_pq"          -> 30, // min(√n,256)-row coarse + 4×16-row PQ codebook assignment crosses (IVFPQ; 34 → 30 in r16 when enc stopped re-joining the coarse argmax)
+    "ann_ivf_pq_rerank"   -> 30, // same IVFPQ pipeline feeding the exact re-rank
     "text_tfidf"          -> 1, // N-docs scalar joined as 1-row cross
     "dedup_fuzzy_levenshtein" -> 1, // bounded (≤60-key) all-pairs edit distance
     "ts_gapfill_locf"     -> 1, // 1-row bounds aggregate crossed into the grid generator
