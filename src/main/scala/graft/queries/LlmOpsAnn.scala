@@ -220,9 +220,22 @@ object LlmOpsAnn {
         explode(array_distinct(split(lower(col("text")), " "))).as("t"))
       .select(col("doc_id"),
         expr("CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)").as("h"))
-    // single-pass 32-column balance aggregation (see dedup_simhash —
-    // r16; replaces the 32× bit explode + two-level aggregation)
-    val fp = simhashFp(codes)
+    // NOT simhashFp (r16): the single-pass 32-column variant measured
+    // FASTER at sf0.1 (2.14 → 1.50 s) but ~25 % SLOWER at sf1 (A/B on
+    // one box/day: 8.8–9.3 s for this explode shape vs 11.5 s
+    // single-pass, 5-pass medians) — at full-corpus doc cardinality
+    // the 32-field aggregation buffer loses the codegen fast-hash-map
+    // path and the per-row buffer cost outgrows the explode it saves.
+    // Scale wins: this full-corpus row keeps the two-level explode
+    // shape; the 1000-doc-capped dedup_simhash keeps the single-pass
+    // helper (bounded key count).
+    val bits = codes
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("j"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(when(expr("(h >> j) & 1") === 1, 1).otherwise(-1)).as("bal"))
+    val fp = bits.groupBy(col("doc_id"))
+      .agg(sum(when(col("bal") > 0, expr("CAST(shiftleft(CAST(1 AS BIGINT), j) AS BIGINT)"))
+        .otherwise(0L)).as("simhash"))
       // rows are already unique per doc_id; the distinct() exists to
       // materialize ONE exchange reused by the band explode and both
       // verify sides (same trick as dedup_ngram_jaccard)
